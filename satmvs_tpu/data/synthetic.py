@@ -1,0 +1,202 @@
+"""Synthetic satellite-MVS scenes: RPC triplets, terrain, rendered views.
+
+The reference repo ships no sample data (WHU-TLC is an external download), so
+the framework provides a geometrically consistent synthetic generator for unit
+tests, end-to-end smoke training, and benchmarking.  All host-side NumPy
+float64.
+
+A synthetic camera is a hand-constructed *direct* RPC (pushbroom-like: sample
+parallax proportional to height, mild cubic distortion terms) whose inverse
+RPC is then obtained with the production fitting pipeline
+(`geo.rpc.fit_inverse_rpc`) — so every synthetic scene also exercises the
+virtual-grid + ICCV-solver stack.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..geo import rpc as rpclib
+
+# ~meters per degree of latitude on WGS-84 (good enough for synthesis)
+_M_PER_DEG = 111_320.0
+
+
+def make_synthetic_rpc(
+    width: int = 256,
+    height: int = 256,
+    gsd: float = 2.5,
+    off_nadir_deg: float = 0.0,
+    azimuth_deg: float = 0.0,
+    lat0: float = 30.0,
+    lon0: float = 120.0,
+    h0: float = 500.0,
+    h_scale: float = 450.0,
+    distortion: float = 3e-3,
+    seed: int = 0,
+    fit_inverse: bool = True,
+) -> np.ndarray:
+    """Build a plausible 170-parameter RPC for one view of a scene.
+
+    The direct model (in normalized coordinates) is an affine ground-to-image
+    map, a height-parallax term of magnitude tan(off_nadir) along the look
+    azimuth, and small random quadratic/cubic distortion terms with a
+    near-unity rational denominator.  Height parallax makes the plane-sweep
+    geometry non-trivial; the distortions make the inverse fit non-exact (as
+    with real cameras).
+    """
+    rng = np.random.default_rng(seed)
+    data = np.zeros(rpclib.NUM_PARAMS, dtype=np.float64)
+
+    samp_scale = width / 2.0
+    line_scale = height / 2.0
+    lat_scale = height * gsd / 2.0 / _M_PER_DEG
+    lon_scale = width * gsd / 2.0 / (_M_PER_DEG * math.cos(math.radians(lat0)))
+
+    data[rpclib.LINE_OFF] = (height - 1) / 2.0
+    data[rpclib.SAMP_OFF] = (width - 1) / 2.0
+    data[rpclib.LAT_OFF] = lat0
+    data[rpclib.LON_OFF] = lon0
+    data[rpclib.HEI_OFF] = h0
+    data[rpclib.LINE_SCALE] = line_scale
+    data[rpclib.SAMP_SCALE] = samp_scale
+    data[rpclib.LAT_SCALE] = lat_scale
+    data[rpclib.LON_SCALE] = lon_scale
+    data[rpclib.HEI_SCALE] = h_scale
+
+    # height parallax in normalized units
+    par = math.tan(math.radians(off_nadir_deg))
+    par_samp = par * math.cos(math.radians(azimuth_deg)) * h_scale / (samp_scale * gsd)
+    par_line = par * math.sin(math.radians(azimuth_deg)) * h_scale / (line_scale * gsd)
+
+    # basis term ordering: [1, L, P, H, LP, LH, PH, L², P², H², PLH, L³, ...]
+    # with P = lat_n, L = lon_n, H = hei_n (geo/rpc.py poly_basis).
+    snum = np.zeros(20)
+    snum[1] = 1.0          # samp_n ≈ lon_n
+    snum[2] = 0.02         # slight row/col coupling
+    snum[3] = par_samp     # height parallax
+    lnum = np.zeros(20)
+    lnum[2] = -1.0         # line_n ≈ -lat_n (row grows southward)
+    lnum[1] = 0.015
+    lnum[3] = par_line
+
+    # mild random high-order distortion (numerator) and rational denominator
+    for vec in (snum, lnum):
+        vec[4:10] += rng.normal(0.0, distortion, 6)
+        vec[10:20] += rng.normal(0.0, distortion / 10.0, 10)
+    sdem = np.zeros(20)
+    ldem = np.zeros(20)
+    sdem[0] = 1.0
+    ldem[0] = 1.0
+    sdem[1:4] += rng.normal(0.0, distortion / 3.0, 3)
+    ldem[1:4] += rng.normal(0.0, distortion / 3.0, 3)
+
+    data[rpclib.SNUM] = snum
+    data[rpclib.SDEM] = sdem
+    data[rpclib.LNUM] = lnum
+    data[rpclib.LDEM] = ldem
+
+    if fit_inverse:
+        data = rpclib.fit_inverse_rpc(data)
+    return data
+
+
+def make_rpc_triplet(width: int = 256, height: int = 256, seed: int = 0, **kw) -> list[np.ndarray]:
+    """Three-view ZY-3-style geometry: forward / nadir / backward looks.
+
+    View order matches the WHU-TLC convention (views 0, 1, 2 with 2 = the
+    nadir reference view by default, ref train.py `--ref_view 2`).
+    """
+    angles = [(22.0, 0.0), (-22.0, 0.0), (0.0, 0.0)]
+    return [
+        make_synthetic_rpc(
+            width, height, off_nadir_deg=a, azimuth_deg=az, seed=seed + 17 * i, **kw
+        )
+        for i, (a, az) in enumerate(angles)
+    ]
+
+
+def _terrain(lat_n: np.ndarray, lon_n: np.ndarray, h0: float, h_amp: float, seed: int):
+    """Smooth random terrain h(lat_n, lon_n) as a small Fourier series."""
+    rng = np.random.default_rng(seed + 1000)
+    h = np.full_like(lat_n, float(h0))
+    for k in range(6):
+        fx, fy = rng.uniform(0.5, 4.0, 2)
+        px, py = rng.uniform(0, 2 * np.pi, 2)
+        amp = h_amp / (1.5 ** k)
+        h = h + amp * np.sin(fx * np.pi * lon_n + px) * np.sin(fy * np.pi * lat_n + py)
+    return h
+
+
+def _texture(lat_n: np.ndarray, lon_n: np.ndarray, seed: int):
+    """Ground albedo in [0, 255] with multi-scale detail (matchable texture)."""
+    rng = np.random.default_rng(seed + 2000)
+    t = np.zeros_like(lat_n)
+    for k in range(8):
+        fx, fy = rng.uniform(2.0, 40.0, 2)
+        px, py = rng.uniform(0, 2 * np.pi, 2)
+        t = t + np.sin(fx * np.pi * lon_n + px) * np.cos(fy * np.pi * lat_n + py) / (1.2 ** k)
+    t = (t - t.min()) / (t.max() - t.min() + 1e-9)
+    return 40.0 + 190.0 * t
+
+
+def render_view(
+    rpc: np.ndarray,
+    width: int,
+    height: int,
+    terrain_seed: int = 0,
+    h_amp: float = 120.0,
+    iters: int = 12,
+):
+    """Render one view of the synthetic scene and its ground-truth height map.
+
+    For each pixel, solves the ray-terrain intersection h = H(latlon(x, y, h))
+    by fixed-point iteration (converges when terrain slope x parallax < 1),
+    then samples the shared ground texture — so all rendered views of one
+    scene are geometrically consistent under their RPCs.
+
+    Returns (image (H, W) float32 in [0,255], height_map (H, W) float32).
+    """
+    x, y = np.meshgrid(np.arange(width, dtype=np.float64), np.arange(height, dtype=np.float64))
+    x, y = x.reshape(-1), y.reshape(-1)
+    h0 = rpc[rpclib.HEI_OFF]
+
+    def terrain_at(lat, lon):
+        lat_n = (lat - rpc[rpclib.LAT_OFF]) / rpc[rpclib.LAT_SCALE]
+        lon_n = (lon - rpc[rpclib.LON_OFF]) / rpc[rpclib.LON_SCALE]
+        return _terrain(lat_n, lon_n, h0, h_amp, terrain_seed)
+
+    h = np.full_like(x, float(h0))
+    for _ in range(iters):
+        lat, lon = rpclib.photo_to_obj(rpc, x, y, h)
+        h = terrain_at(lat, lon)
+
+    lat, lon = rpclib.photo_to_obj(rpc, x, y, h)
+    lat_n = (lat - rpc[rpclib.LAT_OFF]) / rpc[rpclib.LAT_SCALE]
+    lon_n = (lon - rpc[rpclib.LON_OFF]) / rpc[rpclib.LON_SCALE]
+    img = _texture(lat_n, lon_n, terrain_seed).reshape(height, width)
+    return img.astype(np.float32), h.reshape(height, width).astype(np.float32)
+
+
+def make_scene(width: int = 128, height: int = 128, seed: int = 0, h_amp: float = 120.0):
+    """Full synthetic MVS sample: 3 rendered views + ref-view GT height.
+
+    Returns dict {images: (V, H, W) float32, rpcs: (V, 170) float64,
+    gt_height: (H, W) float32 for the *last* (nadir) view, h_range: (2,)}.
+    """
+    rpcs = make_rpc_triplet(width, height, seed=seed)
+    images, heights = [], []
+    for rpc in rpcs:
+        img, hmap = render_view(rpc, width, height, terrain_seed=seed, h_amp=h_amp)
+        images.append(img)
+        heights.append(hmap)
+    h_min, h_max = rpclib.height_range(rpcs[-1])
+    return {
+        "images": np.stack(images),
+        "rpcs": np.stack(rpcs),
+        "gt_height": heights[-1],
+        "gt_heights": np.stack(heights),
+        "h_range": np.array([h_min, h_max], dtype=np.float32),
+    }

@@ -1,0 +1,20 @@
+"""Test configuration: run all tests on 8 virtual CPU devices.
+
+Multi-chip sharding logic is validated without TPU hardware via XLA's
+host-platform device simulation (SURVEY.md §4).  bench.py and production entry
+points do NOT import this — they run on the real TPU.
+
+Note: this image's sitecustomize registers the 'axon' TPU backend and pins
+JAX_PLATFORMS=axon, so env vars alone don't switch backends; we must update
+jax.config after import (before any backend is initialized).
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
