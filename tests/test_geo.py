@@ -164,8 +164,10 @@ def test_tmerc_jnp_matches_numpy():
     tm = TransverseMercator.whu_tlc()
     pts = np.array([[30.0, -134.0], [31.5, -136.0]])
     en_np = tm.proj(pts)
-    en_j = tm.proj(jnp.asarray(pts))  # fp32 on device: ~0.03 m ulp at E≈5e5 m
-    np.testing.assert_allclose(np.asarray(en_j), en_np, rtol=0, atol=0.25)
+    # fp32 on device: ulp ~0.4 m at N≈3.3e6 m — the device path is for
+    # visualization/debug only; DSM georeferencing uses the host fp64 path.
+    en_j = tm.proj(jnp.asarray(pts))
+    np.testing.assert_allclose(np.asarray(en_j), en_np, rtol=0, atol=1.5)
 
 
 # ---------------------------------------------------------------- pinhole
