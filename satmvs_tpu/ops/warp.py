@@ -1,0 +1,185 @@
+"""Plane-sweep warping under RPC and pinhole camera models.
+
+TPU re-design of /root/reference/modules/warping.py.  Differences that matter:
+
+  * channels-last: features are (H, W, C); warped volumes are (D, H, W, C).
+  * float32 throughout.  The RPC chain runs in normalized coordinates with
+    host-precomputed float64 cross-view renormalization (see geo/rpc.py
+    docstring); validated < 0.01 px against the reference's float64 math.
+  * the 8 rational polynomials per warp are two (N, 20) @ (20, 4) matmuls
+    (MXU) instead of 8 broadcast-multiply reductions.
+  * unbatched core functions; batch is `jax.vmap` at the model layer;
+    geometry gets no gradient (lax.stop_gradient), matching the reference's
+    torch.no_grad() design (gradients flow through sampled feature values).
+
+Host-side preparation: `build_rpc_warp_cams` turns (V, 170) float64 RPC
+vectors into the fp32 `RpcWarpCams` pytree the jitted warp consumes.  This is
+the only place float64 appears, and it runs in the input pipeline.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geo import rpc as rpclib
+from .sampling import bilinear_sample
+
+
+class RpcWarpCams(NamedTuple):
+    """fp32 camera bundle for one (ref, srcs...) plane-sweep configuration.
+
+    Leading axis of src_* is the source-view axis (V-1 views).
+    """
+
+    ref_inv: jnp.ndarray     # (20, 4)  inverse RPC of the reference view
+    ref_norm: jnp.ndarray    # (3, 2)   [[off, inv_scale] x (samp, line, hei)]
+    src_fwd: jnp.ndarray     # (S, 20, 4) direct RPCs of source views
+    src_denorm: jnp.ndarray  # (S, 2, 2) [[scale, off] x (samp, line)]
+    renorm: jnp.ndarray      # (S, 3, 2) [[scale, shift] x (lat, lon, hei)] ref_n → src_n
+
+
+def build_rpc_warp_cams(rpcs: np.ndarray, ref_index: int = 0, stage_scale: float = 1.0):
+    """Build `RpcWarpCams` from raw (V, 170) float64 RPCs (host side).
+
+    Args:
+      rpcs: (V, 170) float64; row `ref_index` is the reference view.
+      stage_scale: image-space scale of this cascade stage (1, 1/2, 1/4) —
+        replaces the reference's per-stage dict of divided RPC vectors
+        (/root/reference/dataset/satmvsdataset.py:83-99).
+    """
+    rpcs = np.asarray(rpcs, dtype=np.float64)
+    scaled = np.stack([rpclib.scale_rpc(r.copy(), stage_scale) for r in rpcs])
+    ref = scaled[ref_index]
+    srcs = [scaled[v] for v in range(len(scaled)) if v != ref_index]
+
+    ref_norm = np.array(
+        [
+            [ref[rpclib.SAMP_OFF], 1.0 / ref[rpclib.SAMP_SCALE]],
+            [ref[rpclib.LINE_OFF], 1.0 / ref[rpclib.LINE_SCALE]],
+            [ref[rpclib.HEI_OFF], 1.0 / ref[rpclib.HEI_SCALE]],
+        ]
+    )
+    src_denorm = np.stack(
+        [
+            np.array(
+                [
+                    [s[rpclib.SAMP_SCALE], s[rpclib.SAMP_OFF]],
+                    [s[rpclib.LINE_SCALE], s[rpclib.LINE_OFF]],
+                ]
+            )
+            for s in srcs
+        ]
+    )
+    return RpcWarpCams(
+        ref_inv=jnp.asarray(rpclib.inv_coef_matrix(ref), jnp.float32),
+        ref_norm=jnp.asarray(ref_norm, jnp.float32),
+        src_fwd=jnp.asarray(
+            np.stack([rpclib.fwd_coef_matrix(s) for s in srcs]), jnp.float32
+        ),
+        src_denorm=jnp.asarray(src_denorm, jnp.float32),
+        renorm=jnp.asarray(
+            np.stack([rpclib.renorm_affine(ref, s) for s in srcs]), jnp.float32
+        ),
+    )
+
+
+def rpc_sweep_coords(cams: RpcWarpCams, src_index, depth_values: jnp.ndarray, height: int, width: int):
+    """Source-view pixel coordinates of the RPC plane sweep.
+
+    For every reference pixel (x, y) and height hypothesis h:
+      ref photo → (inverse RPC) → object → (renorm affine) → src-normalized
+      object → (direct RPC) → src photo.
+
+    Args:
+      cams: fp32 camera bundle.
+      src_index: which source view (int or traced scalar).
+      depth_values: (D, H, W) or (D,) height hypotheses in meters.
+      height, width: reference grid size.
+
+    Returns:
+      (x_src, y_src) each (D, H, W), float32.
+    """
+    d = depth_values.shape[0]
+    if depth_values.ndim == 1:
+        depth_values = depth_values.reshape(d, 1, 1) * jnp.ones((1, height, width), depth_values.dtype)
+
+    xs = jax.lax.broadcasted_iota(jnp.float32, (d, height, width), 2)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (d, height, width), 1)
+
+    rn = cams.ref_norm
+    xn = (xs - rn[0, 0]) * rn[0, 1]
+    yn = (ys - rn[1, 0]) * rn[1, 1]
+    hn = (depth_values.astype(jnp.float32) - rn[2, 0]) * rn[2, 1]
+
+    lat_n, lon_n = rpclib.photo_to_obj_n(cams.ref_inv, xn, yn, hn)
+
+    aff = cams.renorm[src_index]  # (3, 2)
+    lat_s = lat_n * aff[0, 0] + aff[0, 1]
+    lon_s = lon_n * aff[1, 0] + aff[1, 1]
+    hei_s = hn * aff[2, 0] + aff[2, 1]
+
+    samp_n, line_n = rpclib.obj_to_photo_n(cams.src_fwd[src_index], lat_s, lon_s, hei_s)
+
+    dn = cams.src_denorm[src_index]
+    x_src = samp_n * dn[0, 0] + dn[0, 1]
+    y_src = line_n * dn[1, 0] + dn[1, 1]
+    return x_src, y_src
+
+
+def rpc_warp(src_feat: jnp.ndarray, cams: RpcWarpCams, src_index, depth_values: jnp.ndarray):
+    """RPC plane-sweep warp of one source feature map.
+
+    src_feat: (H, W, C) — the source view's features at this stage's scale.
+    depth_values: (D, H, W) or (D,) height hypotheses.
+    Returns (D, H, W, C).  TPU analog of /root/reference/modules/warping.py:310-365.
+    """
+    h, w, _ = src_feat.shape
+    x_src, y_src = jax.lax.stop_gradient(
+        rpc_sweep_coords(cams, src_index, depth_values, h, w)
+    )
+    return bilinear_sample(src_feat, x_src, y_src)
+
+
+# ---------------------------------------------------------------------------
+# pinhole homography sweep
+# ---------------------------------------------------------------------------
+def homo_sweep_coords(src_proj: jnp.ndarray, ref_proj: jnp.ndarray, depth_values: jnp.ndarray, height: int, width: int):
+    """Source pixel coordinates of the classic MVS homography sweep.
+
+    rel = src_proj @ inv(ref_proj); p_src ~ rel[:3,:3] @ (x, y, 1) * d + rel[:3,3].
+    Mirrors /root/reference/modules/warping.py:6-44, float32 (works best with
+    local-frame projection matrices — see data/dataset.py).
+    Returns (x_src, y_src) each (D, H, W).
+    """
+    d = depth_values.shape[0]
+    if depth_values.ndim == 1:
+        depth_values = depth_values.reshape(d, 1, 1) * jnp.ones((1, height, width), depth_values.dtype)
+
+    rel = src_proj @ jnp.linalg.inv(ref_proj)
+    rot = rel[:3, :3]
+    trans = rel[:3, 3]
+
+    xs = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0)
+    ones = jnp.ones_like(xs)
+    pix = jnp.stack([xs, ys, ones], axis=-1)  # (H, W, 3)
+
+    rot_pix = pix @ rot.T  # (H, W, 3)
+    p = rot_pix[None] * depth_values[..., None] + trans  # (D, H, W, 3)
+    z = p[..., 2]
+    # guard against division blow-ups behind the camera (reference divides raw)
+    z = jnp.where(jnp.abs(z) < 1e-6, jnp.full_like(z, 1e-6), z)
+    return p[..., 0] / z, p[..., 1] / z
+
+
+def homo_warp(src_feat: jnp.ndarray, src_proj: jnp.ndarray, ref_proj: jnp.ndarray, depth_values: jnp.ndarray):
+    """Homography plane-sweep warp: (H, W, C) → (D, H, W, C)."""
+    h, w, _ = src_feat.shape
+    x_src, y_src = jax.lax.stop_gradient(
+        homo_sweep_coords(src_proj, ref_proj, depth_values, h, w)
+    )
+    return bilinear_sample(src_feat, x_src, y_src)
