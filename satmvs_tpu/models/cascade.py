@@ -1,0 +1,162 @@
+"""Shared coarse-to-fine cascade engine for all three model families.
+
+The reference duplicates the cascade driver across CascadeREDNet /
+CascadeMVSNet / UCSNet (/root/reference/networks/{casred,casmvs,ucs}.py);
+SURVEY.md §7 calls for centralizing it.  `CascadeModel` owns:
+
+  * per-view feature extraction (views folded into the batch axis),
+  * per-stage depth-hypothesis generation (uniform → window → uncertainty),
+  * plane-sweep cost-volume construction under either geo model,
+  * regularization via a stage-indexed submodule list,
+  * soft-argmax regression + the model family's confidence measure.
+
+Input contract (channels-last, view 0 = reference view):
+  imgs:          (B, V, H, W, 3)
+  cams:          per-stage tuple, coarsest first —
+                   geo_model="rpc":     RpcWarpCams with leading batch axis
+                   geo_model="pinhole": (B, V, 4, 4) projection matrices
+  depth_values:  (B, 2) = [h_min, h_max] scene height range
+                 (ref satmvsdataset.py:67 passes exactly this)
+
+Output: {"stage{i}": {"depth", "photometric_confidence", ...}} (stage1 =
+coarsest, like the reference's outputs) plus top-level final-stage aliases.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..nn.costreg import CostRegNet
+from ..nn.featurenet import FeatureNet
+from ..nn.red import REDRegularizer
+from ..ops import depth_range, regression
+from ..ops.cost_volume import sweep_variance_volume
+from ..ops.warp import RpcWarpCams, homo_warp, rpc_warp
+
+STAGE_SCALES = {3: (4, 2, 1), 2: (4, 1), 1: (4,)}
+
+
+def build_stage_volume(geo_model: str, feats, cams, hyps):
+    """(B, V, h, w, C) features + cameras + (B, D, h, w) hypotheses →
+    (B, D, h, w, C) variance cost volume (batch via vmap)."""
+    if geo_model == "rpc":
+
+        def one(feats_b, cams_b: RpcWarpCams, hyps_b):
+            return sweep_variance_volume(
+                feats_b[0],
+                feats_b[1:],
+                lambda sf, s: rpc_warp(sf, cams_b, s, hyps_b),
+            )
+
+    else:
+
+        def one(feats_b, projs_b, hyps_b):
+            return sweep_variance_volume(
+                feats_b[0],
+                feats_b[1:],
+                lambda sf, s: homo_warp(sf, projs_b[s + 1], projs_b[0], hyps_b),
+            )
+
+    return jax.vmap(one)(feats, cams, hyps)
+
+
+class CascadeModel(nn.Module):
+    """Base cascade MVS model; families differ via the knobs below."""
+
+    geo_model: str = "rpc"                       # "rpc" | "pinhole"
+    ndepths: Sequence[int] = (64, 32, 8)
+    depth_intervals_ratio: Sequence[float] = (4.0, 2.0, 1.0)
+    min_interval: float = 2.5                    # = image GSD (ref readme.md:39)
+    cr_base_chs: Sequence[int] = (8, 8, 8)
+    feat_base_chs: int = 8
+    arch_mode: str = "unet"                      # feature decoder mode
+    regularizer: str = "red"                     # "red" | "costreg"
+    sampler: str = "window"                      # "window" | "uncertainty"
+    confidence: str = "max"                      # "max" | "window4"
+    grad_method: str = "through"                 # "through" | "detach"
+    share_cr: bool = False                       # share one regularizer across stages
+    lamb: float = 1.5                            # uncertainty width (UCS)
+
+    @nn.compact
+    def __call__(self, imgs, cams, depth_values, train: bool = False):
+        assert self.geo_model in ("rpc", "pinhole")
+        num_stage = len(self.ndepths)
+        scales = STAGE_SCALES[num_stage]
+        b, v, height, width, _ = imgs.shape
+
+        # ---- feature extraction: fold views into batch (shared weights)
+        feat_net = FeatureNet(self.feat_base_chs, num_stage, self.arch_mode)
+        flat = imgs.reshape(b * v, height, width, imgs.shape[-1])
+        stage_feats = feat_net(flat, train)  # list coarsest-first
+        stage_feats = [
+            f.reshape(b, v, f.shape[1], f.shape[2], f.shape[3]) for f in stage_feats
+        ]
+
+        # ---- stage regularizers
+        def make_reg(i):
+            if self.regularizer == "red":
+                return REDRegularizer(self.cr_base_chs[i])
+            return CostRegNet(self.cr_base_chs[i])
+
+        if self.share_cr:
+            shared = make_reg(0)
+            regs = [shared] * num_stage
+        else:
+            regs = [make_reg(i) for i in range(num_stage)]
+
+        outputs = {}
+        depth = None
+        exp_var = None
+        d_min, d_max = depth_values[:, 0], depth_values[:, -1]
+
+        for i in range(num_stage):
+            scale = scales[i]
+            sh, sw = height // scale, width // scale
+            nd = self.ndepths[i]
+            interval = self.depth_intervals_ratio[i] * self.min_interval
+
+            # ---- hypothesis generation (at stage resolution)
+            if depth is None:
+                hyps = jax.vmap(
+                    lambda lo, hi: depth_range.uniform_samples(lo, hi, nd, sh, sw)
+                )(d_min, d_max)
+            else:
+                prev = depth if self.grad_method == "through" else jax.lax.stop_gradient(depth)
+                cur = jax.vmap(lambda x: depth_range.upsample_map(x, sh, sw))(prev)
+                if self.sampler == "uncertainty":
+                    ev = exp_var if self.grad_method == "through" else jax.lax.stop_gradient(exp_var)
+                    ev = jax.vmap(lambda x: depth_range.upsample_map(x, sh, sw))(ev)
+                    hyps = jax.vmap(
+                        lambda c, e, lo, hi: depth_range.uncertainty_samples(c, e, nd, lo, hi)
+                    )(cur, ev, d_min, d_max)
+                else:
+                    hyps = jax.vmap(
+                        lambda c: depth_range.window_samples(c, nd, interval)
+                    )(cur)
+
+            # ---- cost volume + regularization
+            volume = build_stage_volume(self.geo_model, stage_feats[i], cams[i], hyps)
+            logits = regs[i](volume) if self.regularizer == "red" else regs[i](volume, train)
+            prob = jax.nn.softmax(logits, axis=1)  # (B, D, h, w)
+
+            # ---- regression + confidence
+            depth = jnp.sum(prob * hyps, axis=1)
+            if self.confidence == "window4":
+                conf = jax.vmap(lambda p: regression.window_prob_confidence(p, 4))(prob)
+            else:
+                conf = jnp.max(prob, axis=1)
+
+            stage_out = {"depth": depth, "photometric_confidence": conf}
+            if self.sampler == "uncertainty":
+                exp_var = jax.vmap(
+                    lambda p, hv, dd: regression.expected_variance(p, hv, dd, self.lamb)
+                )(prob, hyps, depth)
+                stage_out["variance"] = exp_var
+            outputs[f"stage{i + 1}"] = stage_out
+
+        outputs.update(outputs[f"stage{num_stage}"])
+        return outputs

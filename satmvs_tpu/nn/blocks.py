@@ -1,0 +1,150 @@
+"""Flax building blocks (channels-last) — reference L3 counterparts.
+
+Re-designs /root/reference/modules/module.py for NHWC/NDHWC and functional
+norm handling.  Conventions:
+  * all activations channels-last; 2-D blocks take (B, H, W, C), 3-D blocks
+    (B, D, H, W, C) — XLA:TPU's native conv layouts.
+  * torch-style explicit padding (kernel 3 → pad 1, kernel 5 → pad 2) so
+    output sizes and receptive-field geometry match the reference exactly.
+  * BatchNorm carries running stats in the `batch_stats` collection
+    (train=True updates them); GroupNorm variants are stateless.
+
+The reference's dead/broken modules (RefineNet's F.cat, ChannelAttentionModule,
+the bn=None fallthrough of Deconv2d/3d, unused Hourglass3d — SURVEY.md §2 C6)
+are intentionally not reproduced.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+def _pad(kernel_size: int) -> int:
+    return kernel_size // 2
+
+
+class ConvBlock(nn.Module):
+    """Conv → (norm) → (ReLU).  `dims` chooses 2-D or 3-D.
+
+    norm: "bn" | "gn" | "none".  Counterpart of Conv2d/Conv3d/ConvBnReLU/
+    ConvGnReLU (/root/reference/modules/module.py:78-119,168-194,218-269).
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    dims: int = 2
+    norm: str = "bn"
+    relu: bool = True
+    bn_momentum: float = 0.9  # flax momentum = 1 − torch momentum (torch 0.1)
+    use_bias: bool | None = None  # default: bias iff no norm
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k = (self.kernel_size,) * self.dims
+        p = _pad(self.kernel_size)
+        bias = (self.norm == "none") if self.use_bias is None else self.use_bias
+        x = nn.Conv(
+            self.features,
+            k,
+            strides=(self.stride,) * self.dims,
+            padding=[(p, p)] * self.dims,
+            use_bias=bias,
+        )(x)
+        if self.norm == "bn":
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=self.bn_momentum
+            )(x)
+        elif self.norm == "gn":
+            groups = max(1, self.features // 8)
+            x = nn.GroupNorm(num_groups=groups)(x)
+        if self.relu:
+            x = nn.relu(x)
+        return x
+
+
+class DeconvBlock(nn.Module):
+    """Transposed conv ×2 upsample → (norm) → (ReLU).
+
+    Counterpart of Deconv2d/Deconv3d/ConvTransReLU (module.py:121-165,197-215).
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 2
+    dims: int = 2
+    norm: str = "bn"
+    relu: bool = True
+    bn_momentum: float = 0.9
+    use_bias: bool | None = None  # default: bias iff no norm
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bias = (self.norm == "none") if self.use_bias is None else self.use_bias
+        x = nn.ConvTranspose(
+            self.features,
+            (self.kernel_size,) * self.dims,
+            strides=(self.stride,) * self.dims,
+            padding="SAME",
+            use_bias=bias,
+        )(x)
+        if self.norm == "bn":
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=self.bn_momentum
+            )(x)
+        elif self.norm == "gn":
+            groups = max(1, self.features // 8)
+            x = nn.GroupNorm(num_groups=groups)(x)
+        if self.relu:
+            x = nn.relu(x)
+        return x
+
+
+class ConvGRUCell(nn.Module):
+    """Convolutional GRU with GroupNorm-ed gates and tanh candidate.
+
+    Counterpart of ConvGRUCell2 (/root/reference/modules/module.py:6-58):
+      r, u = σ(GN(conv([x, h])));  y = tanh(GN(conv([x, r·h])))
+      out  = u·h + (1 − u)·y       (returned as both output and new state)
+    """
+
+    features: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x, h):
+        p = _pad(self.kernel_size)
+        gates = nn.Conv(
+            self.features * 2,
+            (self.kernel_size,) * 2,
+            padding=[(p, p)] * 2,
+        )(jnp.concatenate([x, h], axis=-1))
+        r, u = jnp.split(gates, 2, axis=-1)
+        r = nn.sigmoid(nn.GroupNorm(num_groups=1)(r))
+        u = nn.sigmoid(nn.GroupNorm(num_groups=1)(u))
+        y = nn.Conv(
+            self.features,
+            (self.kernel_size,) * 2,
+            padding=[(p, p)] * 2,
+        )(jnp.concatenate([x, r * h], axis=-1))
+        y = jnp.tanh(nn.GroupNorm(num_groups=1)(y))
+        out = u * h + (1.0 - u) * y
+        return out, out
+
+
+class DeconvFuse(nn.Module):
+    """Upsample + skip-concat + conv — the unet decoder step
+    (DeConv2dFuse, module.py:303-321)."""
+
+    features: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x_skip, x, train: bool = False):
+        x = DeconvBlock(self.features, self.kernel_size, norm="bn")(x, train)
+        x = jnp.concatenate([x, x_skip], axis=-1)
+        x = ConvBlock(self.features, self.kernel_size, norm="bn")(x, train)
+        return x

@@ -1,0 +1,36 @@
+"""3-D cost-volume regularization U-Net.
+
+Counterpart of CostRegNet (/root/reference/modules/module.py:546-577):
+3 stride-2 downsamples over (D, H, W), 3 transposed-conv upsamples with skip
+additions, 1-channel logit head.  Channels-last (B, D, H, W, C); D, H, W must
+be divisible by 8.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+
+from .blocks import ConvBlock, DeconvBlock
+
+
+class CostRegNet(nn.Module):
+    base_channels: int = 8
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b = self.base_channels
+        conv0 = ConvBlock(b, 3, dims=3)(x, train)
+        conv2 = ConvBlock(b * 2, 3, dims=3)(
+            ConvBlock(b * 2, 3, stride=2, dims=3)(conv0, train), train
+        )
+        conv4 = ConvBlock(b * 4, 3, dims=3)(
+            ConvBlock(b * 4, 3, stride=2, dims=3)(conv2, train), train
+        )
+        x = ConvBlock(b * 8, 3, dims=3)(
+            ConvBlock(b * 8, 3, stride=2, dims=3)(conv4, train), train
+        )
+        x = conv4 + DeconvBlock(b * 4, 3, dims=3)(x, train)
+        x = conv2 + DeconvBlock(b * 2, 3, dims=3)(x, train)
+        x = conv0 + DeconvBlock(b, 3, dims=3)(x, train)
+        logits = nn.Conv(1, (3, 3, 3), padding=[(1, 1)] * 3, use_bias=False)(x)
+        return logits[..., 0]  # (B, D, H, W)

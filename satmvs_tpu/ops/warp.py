@@ -87,6 +87,24 @@ def build_rpc_warp_cams(rpcs: np.ndarray, ref_index: int = 0, stage_scale: float
     )
 
 
+def build_stage_cams(rpcs: np.ndarray, ref_index: int = 0, num_stage: int = 3):
+    """Per-cascade-stage camera bundles, coarsest first (host side).
+
+    Stage scales follow the reference convention (casred.py:86-106):
+    3 stages → 1/4, 1/2, 1; 2 stages → 1/4, 1.  Replaces the reference
+    dataset's inverted stage-keyed dict of divided RPC vectors.
+    """
+    scales = {3: (0.25, 0.5, 1.0), 2: (0.25, 1.0), 1: (0.25,)}[num_stage]
+    return tuple(build_rpc_warp_cams(rpcs, ref_index, s) for s in scales)
+
+
+def stack_cams(cams_list):
+    """Stack per-sample camera bundles into one batched pytree (leading B)."""
+    import jax
+
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *cams_list)
+
+
 def rpc_sweep_coords(cams: RpcWarpCams, src_index, depth_values: jnp.ndarray, height: int, width: int):
     """Source-view pixel coordinates of the RPC plane sweep.
 

@@ -1,0 +1,159 @@
+"""Model-family tests: init/forward shapes, jit, gradient flow, and an
+overfit-sanity check on a synthetic scene."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from satmvs_tpu.data import synthetic
+from satmvs_tpu.geo import pinhole as pinlib
+from satmvs_tpu.models import CascadeREDNet, CascadeMVSNet, UCSNet, cascade_loss
+from satmvs_tpu.ops import warp as warplib
+
+H = W = 32
+NDEPTHS = (8, 8, 8)
+
+
+def _rpc_inputs(batch=1, seed=0):
+    rpcs = synthetic.make_rpc_triplet(W, H, seed=seed)
+    # view order ref-first: nadir (index 2) is the reference
+    order = [2, 0, 1]
+    rpcs_np = np.stack([rpcs[i] for i in order])
+    cams = tuple(
+        warplib.stack_cams([c] * batch)
+        for c in warplib.build_stage_cams(rpcs_np, ref_index=0, num_stage=3)
+    )
+    imgs, gts = [], []
+    for i in order:
+        img, gt = synthetic.render_view(rpcs[i], W, H, terrain_seed=seed, h_amp=80.0)
+        imgs.append((img - img.mean()) / (img.std() + 1e-8))
+        gts.append(gt)
+    imgs = np.stack(imgs)[None].repeat(batch, 0)  # (B, V, H, W)
+    imgs = np.repeat(imgs[..., None], 3, axis=-1).astype(np.float32)
+    from satmvs_tpu.geo import rpc as rpclib
+
+    h_min, h_max = rpclib.height_range(rpcs_np[0])
+    dvals = np.tile(np.array([[h_min, h_max]], np.float32), (batch, 1))
+    return jnp.asarray(imgs), cams, jnp.asarray(dvals), gts[0]
+
+
+def _run(model, imgs, cams, dvals, train=False):
+    variables = model.init(jax.random.PRNGKey(0), imgs, cams, dvals, train=False)
+    if train:
+        out, _ = model.apply(
+            variables, imgs, cams, dvals, train=True, mutable=["batch_stats"]
+        )
+    else:
+        out = model.apply(variables, imgs, cams, dvals, train=False)
+    return variables, out
+
+
+@pytest.mark.parametrize("maker,extra", [
+    (CascadeREDNet, {}),
+    (CascadeMVSNet, {}),
+    (UCSNet, {}),
+])
+def test_model_forward_shapes_rpc(maker, extra):
+    imgs, cams, dvals, _ = _rpc_inputs()
+    model = maker(geo_model="rpc", ndepths=NDEPTHS, **extra)
+    _, out = _run(model, imgs, cams, dvals)
+    assert out["stage1"]["depth"].shape == (1, H // 4, W // 4)
+    assert out["stage2"]["depth"].shape == (1, H // 2, W // 2)
+    assert out["stage3"]["depth"].shape == (1, H, W)
+    assert out["depth"].shape == (1, H, W)
+    assert out["photometric_confidence"].shape == (1, H, W)
+    assert np.all(np.isfinite(np.asarray(out["depth"])))
+    conf = np.asarray(out["photometric_confidence"])
+    assert (conf >= 0).all() and (conf <= 1.0 + 1e-5).all()
+
+
+def test_model_forward_pinhole():
+    rng = np.random.default_rng(0)
+    k = np.array([[100.0, 0, W / 2], [0, 100.0, H / 2], [0, 0, 1]])
+    projs = []
+    for tx in (0.0, 2.0, -2.0):
+        e = np.eye(4)
+        e[0, 3] = tx
+        projs.append(pinlib.compose_proj_matrix(k, e))
+    projs = np.stack(projs)
+    stage_projs = tuple(
+        jnp.asarray(pinlib.scale_proj_matrix(projs, s), jnp.float32)[None]
+        for s in (0.25, 0.5, 1.0)
+    )
+    imgs = jnp.asarray(rng.normal(size=(1, 3, H, W, 3)).astype(np.float32))
+    dvals = jnp.asarray([[30.0, 60.0]], jnp.float32)
+    model = CascadeMVSNet(geo_model="pinhole", ndepths=NDEPTHS)
+    _, out = _run(model, imgs, stage_projs, dvals)
+    assert out["depth"].shape == (1, H, W)
+    d = np.asarray(out["depth"])
+    assert np.isfinite(d).all()
+    assert (d >= 29.0).all() and (d <= 61.0).all()
+
+
+def test_train_mode_updates_batch_stats_and_grads_flow():
+    imgs, cams, dvals, gt = _rpc_inputs()
+    model = CascadeMVSNet(geo_model="rpc", ndepths=NDEPTHS)
+    variables = model.init(jax.random.PRNGKey(0), imgs, cams, dvals, train=False)
+
+    gt_stages = [
+        jnp.asarray(gt[None, ::4, ::4]),
+        jnp.asarray(gt[None, ::2, ::2]),
+        jnp.asarray(gt[None]),
+    ]
+    masks = [jnp.ones_like(g) for g in gt_stages]
+
+    def loss_fn(params):
+        out, updates = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            imgs, cams, dvals, train=True, mutable=["batch_stats"],
+        )
+        total, _ = cascade_loss(out, gt_stages, masks)
+        return total
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(loss))
+    norms = jax.tree.map(lambda g: float(jnp.max(jnp.abs(g))), grads)
+    flat = jax.tree.leaves(norms)
+    assert all(np.isfinite(x) for x in flat)
+    # at least most parameter groups receive gradient signal
+    assert sum(x > 0 for x in flat) > len(flat) * 0.8
+
+
+def test_red_model_depth_correlates_with_gt():
+    """One jitted forward of the untrained RED model must at least produce a
+    height map inside the sweep range; after a few grad steps the loss must
+    drop (smoke-level learnability, full overfit is in test_train.py)."""
+    import optax
+
+    imgs, cams, dvals, gt = _rpc_inputs()
+    model = CascadeREDNet(geo_model="rpc", ndepths=(8, 4, 4))
+    variables = model.init(jax.random.PRNGKey(1), imgs, cams, dvals, train=False)
+    gt_stages = [
+        jnp.asarray(gt[None, ::4, ::4]),
+        jnp.asarray(gt[None, ::2, ::2]),
+        jnp.asarray(gt[None]),
+    ]
+    masks = [jnp.ones_like(g) for g in gt_stages]
+    opt = optax.adam(1e-3)
+    state = opt.init(variables["params"])
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            out = model.apply(
+                {"params": p, "batch_stats": variables["batch_stats"]},
+                imgs, cams, dvals, train=False,
+            )
+            return cascade_loss(out, gt_stages, masks)[0]
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params = variables["params"]
+    losses = []
+    for _ in range(5):
+        params, state, loss = step(params, state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
