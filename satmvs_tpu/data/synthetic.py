@@ -180,6 +180,42 @@ def render_view(
     return img.astype(np.float32), h.reshape(height, width).astype(np.float32)
 
 
+def write_synthetic_dataset(
+    root: str,
+    num_scenes: int = 2,
+    width: int = 64,
+    height: int = 64,
+    view_num: int = 3,
+    seed: int = 0,
+    h_amp: float = 80.0,
+) -> str:
+    """Materialize synthetic scenes in the WHU-TLC on-disk layout
+    (image/{v}/name.png, rpc/{v}/name.rpc, height/{v}/name.pfm — ref
+    dataset/gen_list.py conventions) so the file-format + dataset stack can be
+    exercised end-to-end without the real download."""
+    import os
+
+    from PIL import Image
+
+    from . import formats
+
+    for v in range(view_num):
+        for kind in ("image", "rpc", "height"):
+            os.makedirs(os.path.join(root, kind, str(v)), exist_ok=True)
+
+    for s in range(num_scenes):
+        rpcs = make_rpc_triplet(width, height, seed=seed + 31 * s)
+        name = f"scene{s:04d}"
+        for v, rpc in enumerate(rpcs):
+            img, hmap = render_view(rpc, width, height, terrain_seed=seed + 31 * s, h_amp=h_amp)
+            Image.fromarray(img.astype(np.uint8)).save(
+                os.path.join(root, "image", str(v), name + ".png")
+            )
+            formats.save_rpc(os.path.join(root, "rpc", str(v), name + ".rpc"), rpc)
+            formats.save_pfm(os.path.join(root, "height", str(v), name + ".pfm"), hmap)
+    return root
+
+
 def make_scene(width: int = 128, height: int = 128, seed: int = 0, h_amp: float = 120.0):
     """Full synthetic MVS sample: 3 rendered views + ref-view GT height.
 
