@@ -1,0 +1,193 @@
+"""Training / evaluation loops: jitted steps, RMSprop + stepped LR, logging.
+
+Counterpart of /root/reference/train.py:163-345.  Deliberate fixes of
+reference quirks (SURVEY.md §7): the LR schedule decays at epoch *boundaries*
+(the reference stepped a MultiStepLR with epoch-valued milestones once per
+iteration, decaying the LR within the first 14 iterations); metrics use
+mask-weighted means for jit-static shapes.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models import build_model, cascade_loss
+from . import metrics as metrics_lib
+from .config import Config
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
+    """RMSprop(α=0.9) with LR halved at epoch milestones
+    (ref train.py:135-136,164-167)."""
+    boundaries = {
+        int(m) * steps_per_epoch: cfg.lr_gamma for m in cfg.lr_milestones
+    }
+    sched = optax.piecewise_constant_schedule(cfg.lr, boundaries)
+    tx = optax.rmsprop(learning_rate=sched, decay=0.9, eps=1e-8)
+    if cfg.wd > 0:
+        tx = optax.chain(optax.add_decayed_weights(cfg.wd), tx)
+    return tx
+
+
+def numeric_batch(batch: dict) -> dict:
+    return {k: v for k, v in batch.items() if k not in ("out_view", "out_name")}
+
+
+def create_model_and_state(cfg: Config, sample_batch: dict, steps_per_epoch: int,
+                           rng: Optional[jax.Array] = None):
+    """Build the configured model and initialize TrainState from one batch."""
+    model = build_model(
+        cfg.model, cfg.geo_model,
+        ndepths=tuple(cfg.ndepths),
+        cr_base_chs=tuple(cfg.cr_base_chs),
+        **({"min_interval": cfg.min_interval,
+            "depth_intervals_ratio": tuple(cfg.depth_inter_r)}
+           if cfg.model in ("red", "casmvs") else {"lamb": cfg.lamb}),
+    )
+    rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
+    nb = numeric_batch(sample_batch)
+    variables = model.init(rng, nb["imgs"], nb["cams"], nb["depth_values"], train=False)
+    tx = make_optimizer(cfg, steps_per_epoch)
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+    return model, state, tx
+
+
+def make_train_step(model, tx, dlossw) -> Callable:
+    """Jitted (state, batch) → (state, scalars)."""
+
+    @jax.jit
+    def train_step(state: TrainState, batch: dict):
+        def loss_fn(params):
+            out, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["imgs"], batch["cams"], batch["depth_values"],
+                train=True, mutable=["batch_stats"],
+            )
+            total, depth_loss = cascade_loss(
+                out, batch["depth_stages"], batch["mask_stages"], dlossw
+            )
+            return total, (out, updates, depth_loss)
+
+        (loss, (out, updates, depth_loss)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        new_params = None
+        upd, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, upd)
+        new_state = TrainState(
+            params=new_params,
+            batch_stats=updates["batch_stats"],
+            opt_state=new_opt_state,
+            step=state.step + 1,
+        )
+        final = out["depth"]
+        gt = batch["depth_stages"][-1]
+        mask = batch["mask_stages"][-1]
+        scalars = {
+            "loss": loss,
+            "depth_loss": depth_loss,
+            "abs_depth_error": metrics_lib.abs_depth_error(final, gt, mask > 0.5),
+        }
+        return new_state, scalars
+
+    return train_step
+
+
+def make_eval_step(model, dlossw, min_interval: float) -> Callable:
+    """Jitted (state, batch) → scalars + depth/confidence maps."""
+
+    @jax.jit
+    def eval_step(state: TrainState, batch: dict):
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["imgs"], batch["cams"], batch["depth_values"], train=False,
+        )
+        total, depth_loss = cascade_loss(
+            out, batch["depth_stages"], batch["mask_stages"], dlossw
+        )
+        final = out["depth"]
+        gt = batch["depth_stages"][-1]
+        mask = batch["mask_stages"][-1]
+        scalars = {"loss": total, "depth_loss": depth_loss}
+        scalars.update(metrics_lib.standard_metrics(final, gt, mask, min_interval))
+        return scalars, final, out["photometric_confidence"]
+
+    return eval_step
+
+
+def fit(cfg: Config, train_loader, test_loader, workdir: str,
+        log_fn: Optional[Callable[[str], None]] = print):
+    """Full training run: epochs of train steps + a test pass per epoch,
+    checkpoint per `save_freq` epochs, per-epoch record file
+    (ref train.py:163-222)."""
+    import os
+
+    from . import checkpoints as ckpt_lib
+    from .logging import MetricLogger
+
+    steps_per_epoch = max(len(train_loader), 1)
+    first = next(iter(train_loader))
+    model, state, tx = create_model_and_state(cfg, first, steps_per_epoch)
+
+    start_epoch = 1
+    if cfg.resume:
+        restored, ep = ckpt_lib.restore_checkpoint(workdir, state)
+        if restored is not None:
+            state, start_epoch = restored, ep + 1
+            if log_fn:
+                log_fn(f"resumed from epoch {ep}")
+
+    train_step = make_train_step(model, tx, tuple(cfg.dlossw))
+    eval_step = make_eval_step(model, tuple(cfg.dlossw), cfg.min_interval)
+    logger = MetricLogger(workdir)
+
+    for epoch in range(start_epoch, cfg.epochs + 1):
+        for it, batch in enumerate(train_loader):
+            t0 = time.time()
+            state, scalars = train_step(state, numeric_batch(batch))
+            gstep = (epoch - 1) * steps_per_epoch + it
+            if gstep % cfg.summary_freq == 0:
+                scal = {k: float(v) for k, v in scalars.items()}
+                logger.scalars("train", scal, gstep)
+                if log_fn:
+                    log_fn(
+                        f"epoch {epoch}/{cfg.epochs} iter {it}/{steps_per_epoch} "
+                        f"loss={scal['loss']:.3f} time={time.time() - t0:.3f}s"
+                    )
+
+        meter = metrics_lib.DictAverageMeter()
+        for batch in test_loader:
+            scalars, _, _ = eval_step(state, numeric_batch(batch))
+            meter.update({k: float(v) for k, v in scalars.items()})
+        means = meter.mean()
+        logger.scalars("fulltest", means, epoch * steps_per_epoch)
+        if log_fn:
+            log_fn(f"epoch {epoch} test: {means}")
+        with open(os.path.join(workdir, "train_record.txt"), "a") as f:
+            f.write(f"{epoch} {means}\n")
+
+        if epoch % cfg.save_freq == 0:
+            ckpt_lib.save_checkpoint(workdir, epoch, state)
+
+    logger.close()
+    return model, state
