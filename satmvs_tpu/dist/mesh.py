@@ -1,0 +1,65 @@
+"""Device mesh + sharding helpers — the communication layer the reference
+lacks (it ships single-process nn.DataParallel only, ref train.py:128-130;
+SURVEY.md §2.2).
+
+Mesh axes:
+  data     batch-parallel (gradient psum inserted by XLA)
+  spatial  height-axis sharding of images / cost volumes (halo exchange for
+           convs is inserted by GSPMD) — the "tile/SP" axis
+Extra axes (view, depth) are exercised at the op level (ops/cost_volume.py
+psum moments; infer tiling) — see tests/test_dist.py.
+
+Usage: put the batch on `batch_sharding(mesh)`-placed arrays, the state on
+`replicated(mesh)`, and call a normally-jitted step inside `use_mesh(mesh)`;
+XLA compiles one SPMD program from the argument shardings.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: int = 1, spatial: int = 1, devices=None) -> Mesh:
+    devices = list(jax.devices()) if devices is None else list(devices)
+    need = data * spatial
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    arr = np.array(devices[:need]).reshape(data, spatial)
+    return Mesh(arr, ("data", "spatial"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_spec() -> P:
+    """Leading-axis (batch) sharding over the data axis."""
+    return P("data")
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place every array leaf of a batch with its leading axis over 'data'."""
+    sh = NamedSharding(mesh, batch_spec())
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def volume_spec(spatial: bool = True) -> P:
+    """PartitionSpec for a (B, D, H, W, C) cost volume: batch over 'data',
+    H over 'spatial' (GSPMD adds conv halos as needed)."""
+    return P("data", None, "spatial" if spatial else None, None, None)
+
+
+def constrain(x, spec: Optional[P]):
+    """Apply a sharding constraint when a spec is given (no-op otherwise)."""
+    if spec is None:
+        return x
+    return jax.lax.with_sharding_constraint(x, spec)

@@ -80,6 +80,10 @@ class CascadeModel(nn.Module):
     grad_method: str = "through"                 # "through" | "detach"
     share_cr: bool = False                       # share one regularizer across stages
     lamb: float = 1.5                            # uncertainty width (UCS)
+    # Optional PartitionSpec for (B, D, h, w, C) cost volumes; when set (and
+    # running under a mesh context) XLA keeps volumes sharded over the named
+    # axes and inserts conv halo exchanges — see dist/mesh.py.
+    volume_partition: object = None
 
     @nn.compact
     def __call__(self, imgs, cams, depth_values, train: bool = False):
@@ -140,6 +144,8 @@ class CascadeModel(nn.Module):
 
             # ---- cost volume + regularization
             volume = build_stage_volume(self.geo_model, stage_feats[i], cams[i], hyps)
+            if self.volume_partition is not None:
+                volume = jax.lax.with_sharding_constraint(volume, self.volume_partition)
             logits = regs[i](volume) if self.regularizer == "red" else regs[i](volume, train)
             prob = jax.nn.softmax(logits, axis=1)  # (B, D, h, w)
 
