@@ -119,13 +119,17 @@ def make_rpc_triplet(width: int = 256, height: int = 256, seed: int = 0, **kw) -
 
 
 def _terrain(lat_n: np.ndarray, lon_n: np.ndarray, h0: float, h_amp: float, seed: int):
-    """Smooth random terrain h(lat_n, lon_n) as a small Fourier series."""
+    """Smooth random terrain h(lat_n, lon_n) as a small Fourier series.
+
+    Frequencies/amplitudes are kept low enough that terrain slope times the
+    ±22° parallax stays < 1 — the contraction condition of the fixed-point
+    renderer (and of real-world multi-view height consistency)."""
     rng = np.random.default_rng(seed + 1000)
     h = np.full_like(lat_n, float(h0))
     for k in range(6):
-        fx, fy = rng.uniform(0.5, 4.0, 2)
+        fx, fy = rng.uniform(0.3, 1.5, 2)
         px, py = rng.uniform(0, 2 * np.pi, 2)
-        amp = h_amp / (1.5 ** k)
+        amp = h_amp / (1.6 ** k) / (1.0 + 0.6 * (fx + fy))
         h = h + amp * np.sin(fx * np.pi * lon_n + px) * np.sin(fy * np.pi * lat_n + py)
     return h
 
@@ -148,7 +152,7 @@ def render_view(
     height: int,
     terrain_seed: int = 0,
     h_amp: float = 120.0,
-    iters: int = 12,
+    iters: int = 24,
 ):
     """Render one view of the synthetic scene and its ground-truth height map.
 
@@ -171,7 +175,8 @@ def render_view(
     h = np.full_like(x, float(h0))
     for _ in range(iters):
         lat, lon = rpclib.photo_to_obj(rpc, x, y, h)
-        h = terrain_at(lat, lon)
+        # damped fixed point: converges for slope x parallax < 3
+        h = 0.5 * h + 0.5 * terrain_at(lat, lon)
 
     lat, lon = rpclib.photo_to_obj(rpc, x, y, h)
     lat_n = (lat - rpc[rpclib.LAT_OFF]) / rpc[rpclib.LAT_SCALE]

@@ -79,6 +79,15 @@ class TransverseMercator:
         """The WHU-TLC dataset projection (WHU_TLC/readme.md:33-42)."""
         return cls(WGS84, 0.0, -135.0, 0.9996, 500000.0, 0.0)
 
+    @classmethod
+    def utm_for(cls, lon: float) -> "TransverseMercator":
+        """The UTM projection of the zone containing longitude `lon` — the
+        series formulas are only accurate within a few degrees of the central
+        meridian, so DSM rasterization must use the scene's own zone."""
+        zone = int((lon + 180.0) // 6.0) + 1
+        central = -183.0 + 6.0 * zone
+        return cls(WGS84, 0.0, central, 0.9996, 500000.0, 0.0)
+
     def proj(self, pts, reverse: bool = False):
         pts = pts if isinstance(pts, jnp.ndarray) else np.asarray(pts)
         shape = pts.shape

@@ -40,6 +40,39 @@ from ..ops.warp import RpcWarpCams, homo_warp, rpc_warp
 STAGE_SCALES = {3: (4, 2, 1), 2: (4, 1), 1: (4,)}
 
 
+def stage_hypotheses(
+    nd: int,
+    sh: int,
+    sw: int,
+    d_min,
+    d_max,
+    interval: float,
+    depth=None,
+    exp_var=None,
+    sampler: str = "window",
+    detach: bool = False,
+):
+    """Depth hypotheses (B, D, sh, sw) for one cascade stage.
+
+    First stage (depth=None): uniform sweep of the scene range; later stages:
+    per-pixel window (or uncertainty window) around the upsampled previous
+    estimate.  Shared by the training cascade and streaming inference.
+    """
+    if depth is None:
+        return jax.vmap(
+            lambda lo, hi: depth_range.uniform_samples(lo, hi, nd, sh, sw)
+        )(d_min, d_max)
+    prev = jax.lax.stop_gradient(depth) if detach else depth
+    cur = jax.vmap(lambda x: depth_range.upsample_map(x, sh, sw))(prev)
+    if sampler == "uncertainty":
+        ev = jax.lax.stop_gradient(exp_var) if detach else exp_var
+        ev = jax.vmap(lambda x: depth_range.upsample_map(x, sh, sw))(ev)
+        return jax.vmap(
+            lambda c, e, lo, hi: depth_range.uncertainty_samples(c, e, nd, lo, hi)
+        )(cur, ev, d_min, d_max)
+    return jax.vmap(lambda c: depth_range.window_samples(c, nd, interval))(cur)
+
+
 def build_stage_volume(geo_model: str, feats, cams, hyps):
     """(B, V, h, w, C) features + cameras + (B, D, h, w) hypotheses →
     (B, D, h, w, C) variance cost volume (batch via vmap)."""
@@ -124,23 +157,11 @@ class CascadeModel(nn.Module):
             interval = self.depth_intervals_ratio[i] * self.min_interval
 
             # ---- hypothesis generation (at stage resolution)
-            if depth is None:
-                hyps = jax.vmap(
-                    lambda lo, hi: depth_range.uniform_samples(lo, hi, nd, sh, sw)
-                )(d_min, d_max)
-            else:
-                prev = depth if self.grad_method == "through" else jax.lax.stop_gradient(depth)
-                cur = jax.vmap(lambda x: depth_range.upsample_map(x, sh, sw))(prev)
-                if self.sampler == "uncertainty":
-                    ev = exp_var if self.grad_method == "through" else jax.lax.stop_gradient(exp_var)
-                    ev = jax.vmap(lambda x: depth_range.upsample_map(x, sh, sw))(ev)
-                    hyps = jax.vmap(
-                        lambda c, e, lo, hi: depth_range.uncertainty_samples(c, e, nd, lo, hi)
-                    )(cur, ev, d_min, d_max)
-                else:
-                    hyps = jax.vmap(
-                        lambda c: depth_range.window_samples(c, nd, interval)
-                    )(cur)
+            hyps = stage_hypotheses(
+                nd, sh, sw, d_min, d_max, interval,
+                depth=depth, exp_var=exp_var, sampler=self.sampler,
+                detach=(self.grad_method == "detach"),
+            )
 
             # ---- cost volume + regularization
             volume = build_stage_volume(self.geo_model, stage_feats[i], cams[i], hyps)

@@ -105,12 +105,35 @@ def stack_cams(cams_list):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *cams_list)
 
 
+def rpc_transform_points(cams: RpcWarpCams, src_index, x, y, h):
+    """Map arbitrary ref photo coords + heights to src photo coords.
+
+    The fp32 normalized-space chain: ref photo → (inverse RPC) → ref-normalized
+    object → (host-fp64 renorm affine) → src-normalized object → (direct RPC)
+    → src photo.  Shapes broadcast; returns (x_src, y_src) like x.
+    """
+    rn = cams.ref_norm
+    xn = (x - rn[0, 0]) * rn[0, 1]
+    yn = (y - rn[1, 0]) * rn[1, 1]
+    hn = (h - rn[2, 0]) * rn[2, 1]
+
+    lat_n, lon_n = rpclib.photo_to_obj_n(cams.ref_inv, xn, yn, hn)
+
+    aff = cams.renorm[src_index]  # (3, 2)
+    lat_s = lat_n * aff[0, 0] + aff[0, 1]
+    lon_s = lon_n * aff[1, 0] + aff[1, 1]
+    hei_s = hn * aff[2, 0] + aff[2, 1]
+
+    samp_n, line_n = rpclib.obj_to_photo_n(cams.src_fwd[src_index], lat_s, lon_s, hei_s)
+
+    dn = cams.src_denorm[src_index]
+    x_src = samp_n * dn[0, 0] + dn[0, 1]
+    y_src = line_n * dn[1, 0] + dn[1, 1]
+    return x_src, y_src
+
+
 def rpc_sweep_coords(cams: RpcWarpCams, src_index, depth_values: jnp.ndarray, height: int, width: int):
     """Source-view pixel coordinates of the RPC plane sweep.
-
-    For every reference pixel (x, y) and height hypothesis h:
-      ref photo → (inverse RPC) → object → (renorm affine) → src-normalized
-      object → (direct RPC) → src photo.
 
     Args:
       cams: fp32 camera bundle.
@@ -127,25 +150,7 @@ def rpc_sweep_coords(cams: RpcWarpCams, src_index, depth_values: jnp.ndarray, he
 
     xs = jax.lax.broadcasted_iota(jnp.float32, (d, height, width), 2)
     ys = jax.lax.broadcasted_iota(jnp.float32, (d, height, width), 1)
-
-    rn = cams.ref_norm
-    xn = (xs - rn[0, 0]) * rn[0, 1]
-    yn = (ys - rn[1, 0]) * rn[1, 1]
-    hn = (depth_values.astype(jnp.float32) - rn[2, 0]) * rn[2, 1]
-
-    lat_n, lon_n = rpclib.photo_to_obj_n(cams.ref_inv, xn, yn, hn)
-
-    aff = cams.renorm[src_index]  # (3, 2)
-    lat_s = lat_n * aff[0, 0] + aff[0, 1]
-    lon_s = lon_n * aff[1, 0] + aff[1, 1]
-    hei_s = hn * aff[2, 0] + aff[2, 1]
-
-    samp_n, line_n = rpclib.obj_to_photo_n(cams.src_fwd[src_index], lat_s, lon_s, hei_s)
-
-    dn = cams.src_denorm[src_index]
-    x_src = samp_n * dn[0, 0] + dn[0, 1]
-    y_src = line_n * dn[1, 0] + dn[1, 1]
-    return x_src, y_src
+    return rpc_transform_points(cams, src_index, xs, ys, depth_values.astype(jnp.float32))
 
 
 def rpc_warp(src_feat: jnp.ndarray, cams: RpcWarpCams, src_index, depth_values: jnp.ndarray):
