@@ -1,0 +1,277 @@
+"""Fused plane-sweep bilinear gather — Pallas TPU kernel.
+
+Replaces the XLA gather in ops/sampling.bilinear_sample for the plane-sweep
+warp (the reference's F.grid_sample hot spot, /root/reference/modules/
+warping.py:358; 87% of sweep time on the XLA path).
+
+Key idea: TPU has no fast random gather, but the plane-sweep coordinate field
+is *smooth* — within a (BLOCK_ROWS x W) output row-tile of one depth plane,
+the integer sample offsets (x_src − j, y_src − i) each span only a few
+pixels.  So each program:
+
+  1. reads its coordinate tile, computes per-tile integer base offsets
+     (row_base, col_base) = min integer offsets;
+  2. DMAs the (BLOCK_ROWS+KV, C, W+KS+128) source window at that base from
+     HBM into VMEM.  The source is laid out (H, C, W) — the *leading* row
+     dim is untiled so arbitrary dynamic row offsets are legal; the lane
+     (column) offset is 128-aligned and the ≤127-px residual is rotated out
+     with one dynamic lane roll.  The source is pre-padded (VPAD rows /
+     PAD columns) so any disparity range stays in bounds;
+  3. accumulates the (KV+1) x (KS+1) tap stencil: out += wv(dv)·wh(ds)·
+     window[dv:dv+BH, :, ds:ds+W] — static slices and VPU multiply-adds,
+     no gather.  Bilinear weights factor exactly into vertical/horizontal
+     hat functions; taps whose absolute coordinate falls outside the image
+     get weight 0 (zeros-padding semantics, identical to
+     ops/sampling.bilinear_sample — kernel output is bit-exact vs that path).
+
+Points whose offset deviates from the tile base by > KV/KS (non-smooth warp)
+contribute zero; `count_misses` is the pure-XLA coverage mirror — validate a
+camera geometry once and fall back to the XLA path if nonzero.
+
+Gotcha captured in code: Mosaic's dynamic rotate silently miscomputes for
+negative traced shifts — always roll by (size − r).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_ROWS = 8   # output rows per program
+PAD = 256        # column padding of the source (covers |col offset| ≲ PAD)
+VPAD = 32        # row padding (covers |row offset| ≤ VPAD)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _sweep_gather_kernel(
+    x_ref, y_ref, src_hbm, out_ref, patch_ref, sem,
+    *, kv: int, ks: int, height: int, width: int, channels: int,
+):
+    bh = BLOCK_ROWS
+    t = pl.program_id(1)
+    tile_row0 = t * bh
+
+    x = x_ref[0]            # (BH, W) float32 sample columns
+    y = y_ref[0]            # (BH, W) float32 sample rows
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    fx = x - x0f
+    fy = y - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    jj = jax.lax.broadcasted_iota(jnp.int32, (bh, width), 1)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (bh, width), 0)
+
+    rel_x = x0 - jj                      # horizontal offset field
+    rel_y = y0 - (ii + tile_row0)        # vertical offset field
+
+    # per-tile integer bases (ignore far-out-of-image samples when choosing
+    # the base so border tiles still cover their valid points)
+    big = jnp.int32(10**9)
+    valid_any = (x0 >= -1) & (x0 <= width - 1) & (y0 >= -1) & (y0 <= height - 1)
+    col_base = jnp.min(jnp.where(valid_any, rel_x, big))
+    row_base = jnp.min(jnp.where(valid_any, rel_y, big))
+    col_base = jnp.where(col_base == big, 0, col_base)
+    row_base = jnp.where(row_base == big, 0, row_base)
+
+    # window placement in the padded (H, C, W) source: row offset is free
+    # (untiled leading dim); column offset must be 128-aligned with the
+    # residual rolled out of the patch.
+    kh = bh + kv
+    wp = width + ks
+    wpp = _round_up(wp + 128, 128)
+    h_tot = height + 2 * VPAD
+    w_tot = width + 2 * PAD
+    row_start = jnp.clip(tile_row0 + row_base + VPAD, 0, h_tot - kh)
+    col_start = jnp.clip(col_base + PAD, 0, w_tot - wp)
+    col_start128 = pl.multiple_of(
+        jnp.clip((col_start // 128) * 128, 0, w_tot - wpp), 128
+    )
+    rc = col_start - col_start128        # ∈ [0, 128]
+
+    dma = pltpu.make_async_copy(
+        src_hbm.at[pl.ds(row_start, kh), :, pl.ds(col_start128, wpp)],
+        patch_ref,
+        sem,
+    )
+    dma.start()
+
+    # effective bases after clamping (clamps only matter when the needed
+    # window exceeds the image/pad range, where weights are 0 anyway)
+    row_base_eff = row_start - VPAD - tile_row0
+    col_base_eff = col_start - PAD
+
+    dv_idx = rel_y - row_base_eff        # top-left corner tap ∈ [0, kv)
+    ds_idx = rel_x - col_base_eff        # when covered
+
+    # per-corner image-bounds validity (zeros-padding semantics)
+    vx0 = (x0 >= 0) & (x0 <= width - 1)
+    vx1 = (x0 + 1 >= 0) & (x0 + 1 <= width - 1)
+    vy0 = (y0 >= 0) & (y0 <= height - 1)
+    vy1 = (y0 + 1 >= 0) & (y0 + 1 <= height - 1)
+
+    f32 = jnp.float32
+    dma.wait()
+
+    patch = patch_ref[:]                              # (kh, C, wpp)
+    # dynamic roll shifts must be non-negative (negative traced shifts
+    # miscompute silently) — roll left by rc via a right-roll of wpp − rc.
+    patch = pltpu.roll(patch, wpp - rc, 2)
+
+    acc = jnp.zeros((bh, channels, width), jnp.float32)
+    for dv in range(kv + 1):
+        # vertical hat: corner y0 at tap dv → (1−fy); corner y0+1 at dv → fy
+        wv = (
+            jnp.where((dv_idx == dv) & vy0, 1.0 - fy, 0.0)
+            + jnp.where((dv_idx + 1 == dv) & vy1, fy, 0.0)
+        ).astype(f32)
+        for ds in range(ks + 1):
+            wh = (
+                jnp.where((ds_idx == ds) & vx0, 1.0 - fx, 0.0)
+                + jnp.where((ds_idx + 1 == ds) & vx1, fx, 0.0)
+            ).astype(f32)
+            w = wv * wh                               # (BH, W)
+            cols = patch[dv : dv + bh, :, ds : ds + width]
+            acc = acc + w[:, None, :] * cols
+    out_ref[0] = acc
+
+
+def _sweep_gather_impl(src: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
+                       kv: int = 8, ks: int = 8, interpret: bool = False):
+    """Bilinear-sample `src` (H, W, C) at plane-sweep coords (D, H, W).
+
+    Returns warped (D, H, W, C).  H must be a multiple of BLOCK_ROWS; integer
+    sample offsets within each row-tile must span ≤ kv/ks pixels (true for
+    smooth RPC/homography warps — validate with `count_misses(...) == 0`,
+    falling back to ops.sampling.bilinear_sample otherwise).
+    """
+    h, w, c = src.shape
+    d = xs.shape[0]
+    assert h % BLOCK_ROWS == 0, f"height {h} not a multiple of {BLOCK_ROWS}"
+
+    src_hcw = jnp.swapaxes(src, 1, 2)                       # (H, C, W)
+    src_pad = jnp.pad(src_hcw, ((VPAD, VPAD), (0, 0), (PAD, PAD)))
+
+    n_tiles = h // BLOCK_ROWS
+    kernel = functools.partial(
+        _sweep_gather_kernel, kv=kv, ks=ks, height=h, width=w, channels=c,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(d, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, BLOCK_ROWS, w), lambda di, ti: (di, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_ROWS, w), lambda di, ti: (di, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((1, BLOCK_ROWS, c, w), lambda di, ti: (di, ti, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((d, h, c, w), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM(
+                (BLOCK_ROWS + kv, c, _round_up(w + ks + 128, 128)),
+                jnp.float32,
+            ),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(xs, ys, src_pad)
+    return jnp.swapaxes(out, 2, 3)                          # (D, H, W, C)
+
+
+def _bilinear_scatter(g: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
+                      height: int, width: int) -> jnp.ndarray:
+    """Transpose of bilinear sampling: scatter-add cotangents g (D, H, W, C)
+    into a (H, W, C) source cotangent (XLA scatter; used for the backward)."""
+    c = g.shape[-1]
+    x = xs.reshape(-1)
+    y = ys.reshape(-1)
+    gf = g.reshape(-1, c)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    out = jnp.zeros((height * width, c), g.dtype)
+    for dy, dx, wgt in (
+        (0, 0, (1 - wy) * (1 - wx)),
+        (0, 1, (1 - wy) * wx),
+        (1, 0, wy * (1 - wx)),
+        (1, 1, wy * wx),
+    ):
+        yy = y0i + dy
+        xx = x0i + dx
+        valid = (xx >= 0) & (xx < width) & (yy >= 0) & (yy < height)
+        idx = jnp.clip(yy, 0, height - 1) * width + jnp.clip(xx, 0, width - 1)
+        out = out.at[idx].add(gf * (wgt * valid)[:, None])
+    return out.reshape(height, width, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def sweep_gather(src: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
+                 kv: int = 8, ks: int = 8, interpret: bool = False):
+    """Differentiable fused plane-sweep bilinear sample (see module docs).
+
+    Forward runs the Pallas stencil kernel; backward scatters cotangents into
+    the source with an XLA scatter-add (coordinates carry no gradient — the
+    plane-sweep geometry is non-differentiable by design, matching the
+    reference's torch.no_grad() warp)."""
+    return _sweep_gather_impl(src, xs, ys, kv, ks, interpret)
+
+
+def _sweep_gather_fwd(src, xs, ys, kv, ks, interpret):
+    out = _sweep_gather_impl(src, xs, ys, kv, ks, interpret)
+    return out, (src.shape, xs, ys)
+
+
+def _sweep_gather_bwd(kv, ks, interpret, residuals, g):
+    (h, w, _), xs, ys = residuals
+    dsrc = _bilinear_scatter(g, xs, ys, h, w)
+    return dsrc, None, None
+
+
+sweep_gather.defvjp(_sweep_gather_fwd, _sweep_gather_bwd)
+
+
+def count_misses(xs: jnp.ndarray, ys: jnp.ndarray, height: int, width: int,
+                 kv: int = 8, ks: int = 8) -> jnp.ndarray:
+    """Number of valid sample points the kernel would drop (per depth plane).
+
+    Pure XLA mirror of the kernel's per-tile base selection and clamping —
+    use to validate a camera geometry once (or per batch in tests) before
+    trusting `sweep_gather`; nonzero counts ⇒ use the XLA sampling path.
+    """
+    d = xs.shape[0]
+    bh = BLOCK_ROWS
+    n_tiles = height // bh
+    x0 = jnp.floor(xs).astype(jnp.int32).reshape(d, n_tiles, bh, width)
+    y0 = jnp.floor(ys).astype(jnp.int32).reshape(d, n_tiles, bh, width)
+    jj = jnp.arange(width, dtype=jnp.int32)[None, None, None, :]
+    ii = (jnp.arange(height, dtype=jnp.int32).reshape(n_tiles, bh))[None, :, :, None]
+    rel_x = x0 - jj
+    rel_y = y0 - ii
+    valid = (x0 >= -1) & (x0 <= width - 1) & (y0 >= -1) & (y0 <= height - 1)
+    big = jnp.int32(10**9)
+    col_base = jnp.min(jnp.where(valid, rel_x, big), axis=(2, 3), keepdims=True)
+    row_base = jnp.min(jnp.where(valid, rel_y, big), axis=(2, 3), keepdims=True)
+    col_base = jnp.where(col_base == big, 0, col_base)
+    row_base = jnp.where(row_base == big, 0, row_base)
+    kh = bh + kv
+    tile_row0 = (jnp.arange(n_tiles, dtype=jnp.int32) * bh)[None, :, None, None]
+    row_start = jnp.clip(tile_row0 + row_base + VPAD, 0, height + 2 * VPAD - kh)
+    col_start = jnp.clip(col_base + PAD, 0, width + 2 * PAD - (width + ks))
+    dv_idx = rel_y - (row_start - VPAD - tile_row0)
+    ds_idx = rel_x - (col_start - PAD)
+    covered = (dv_idx >= 0) & (dv_idx + 1 <= kv) & (ds_idx >= 0) & (ds_idx + 1 <= ks)
+    return jnp.sum((valid & ~covered), axis=(1, 2, 3))

@@ -153,17 +153,28 @@ def rpc_sweep_coords(cams: RpcWarpCams, src_index, depth_values: jnp.ndarray, he
     return rpc_transform_points(cams, src_index, xs, ys, depth_values.astype(jnp.float32))
 
 
-def rpc_warp(src_feat: jnp.ndarray, cams: RpcWarpCams, src_index, depth_values: jnp.ndarray):
+def _use_pallas_gather(height: int) -> bool:
+    return jax.default_backend() == "tpu" and height % 8 == 0
+
+
+def rpc_warp(src_feat: jnp.ndarray, cams: RpcWarpCams, src_index, depth_values: jnp.ndarray,
+             method: str = "auto"):
     """RPC plane-sweep warp of one source feature map.
 
     src_feat: (H, W, C) — the source view's features at this stage's scale.
     depth_values: (D, H, W) or (D,) height hypotheses.
+    method: "auto" (fused Pallas stencil kernel on TPU, XLA gather elsewhere),
+            "pallas", or "xla".
     Returns (D, H, W, C).  TPU analog of /root/reference/modules/warping.py:310-365.
     """
     h, w, _ = src_feat.shape
     x_src, y_src = jax.lax.stop_gradient(
         rpc_sweep_coords(cams, src_index, depth_values, h, w)
     )
+    if method == "pallas" or (method == "auto" and _use_pallas_gather(h)):
+        from .pallas.sweep_gather import sweep_gather
+
+        return sweep_gather(src_feat, x_src, y_src)
     return bilinear_sample(src_feat, x_src, y_src)
 
 
@@ -199,10 +210,15 @@ def homo_sweep_coords(src_proj: jnp.ndarray, ref_proj: jnp.ndarray, depth_values
     return p[..., 0] / z, p[..., 1] / z
 
 
-def homo_warp(src_feat: jnp.ndarray, src_proj: jnp.ndarray, ref_proj: jnp.ndarray, depth_values: jnp.ndarray):
+def homo_warp(src_feat: jnp.ndarray, src_proj: jnp.ndarray, ref_proj: jnp.ndarray, depth_values: jnp.ndarray,
+              method: str = "auto"):
     """Homography plane-sweep warp: (H, W, C) → (D, H, W, C)."""
     h, w, _ = src_feat.shape
     x_src, y_src = jax.lax.stop_gradient(
         homo_sweep_coords(src_proj, ref_proj, depth_values, h, w)
     )
+    if method == "pallas" or (method == "auto" and _use_pallas_gather(h)):
+        from .pallas.sweep_gather import sweep_gather
+
+        return sweep_gather(src_feat, x_src, y_src)
     return bilinear_sample(src_feat, x_src, y_src)

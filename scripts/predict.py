@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Whole-scene prediction CLI: streaming inference → per-view height/prob
+PFMs (+ optional fusion to a DSM raster).
+
+Counterpart of /root/reference/predict.py (writes the same
+mvs_results/{view}/{init,prob}/{name}.pfm layout, predict.py:117-135) with a
+fusion stage the reference left to an external pipeline:
+  --fuse     run geometric-consistency fusion over each scene's views and
+             write a UTM DSM raster (tools/rpc_filter.py + data_io.py:289-325
+             equivalents, on device).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import argparse
+
+    import jax
+    import numpy as np
+
+    from satmvs_tpu.data import formats
+    from satmvs_tpu.data.dataset import find_dataset
+    from satmvs_tpu.data.loader import Loader
+    from satmvs_tpu.train.checkpoints import restore_checkpoint
+    from satmvs_tpu.train.config import Config
+    from satmvs_tpu.train.loop import create_model_and_state, numeric_batch
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="red", choices=["red", "casmvs", "ucs"])
+    p.add_argument("--geo_model", default="rpc", choices=["rpc", "pinhole"])
+    p.add_argument("--dataset_root", required=True)
+    p.add_argument("--loadckpt", required=True)
+    p.add_argument("--view_num", type=int, default=3)
+    p.add_argument("--ndepths", default="64,32,8")
+    p.add_argument("--min_interval", type=float, default=2.5)
+    p.add_argument("--depth_inter_r", default="4,2,1")
+    p.add_argument("--cr_base_chs", default="8,8,8")
+    p.add_argument("--lamb", type=float, default=1.5)
+    p.add_argument("--streaming", action="store_true",
+                   help="plane-streaming scan (red model only): O(H*W) memory in D")
+    p.add_argument("--fuse", action="store_true", help="fuse views into a DSM")
+    p.add_argument("--p_ratio", type=float, default=1.0)
+    p.add_argument("--d_ratio", type=float, default=2.5)
+    p.add_argument("--geo_consist_num", type=int, default=1)
+    p.add_argument("--confidence_ratio", type=float, default=0.1)
+    p.add_argument("--grid_res", type=float, default=5.0)
+    a = p.parse_args()
+
+    cfg = Config(
+        model=a.model, geo_model=a.geo_model,
+        ndepths=tuple(int(x) for x in a.ndepths.split(",") if x),
+        depth_inter_r=tuple(float(x) for x in a.depth_inter_r.split(",") if x),
+        cr_base_chs=tuple(int(x) for x in a.cr_base_chs.split(",") if x),
+        min_interval=a.min_interval, lamb=a.lamb, view_num=a.view_num,
+    )
+
+    ds = find_dataset(a.geo_model)(
+        a.dataset_root, "pred", a.view_num, geo_model=a.geo_model,
+        num_stage=cfg.num_stage,
+    )
+    ld = Loader(ds, batch_size=1)
+    first = next(iter(ld))
+    model, state, _ = create_model_and_state(cfg, first, steps_per_epoch=1)
+    restored, ep = restore_checkpoint(a.loadckpt, state)
+    if restored is None:
+        raise SystemExit(f"no checkpoint at {a.loadckpt}")
+    print(f"loaded checkpoint epoch {ep}")
+    variables = {"params": restored.params, "batch_stats": restored.batch_stats}
+
+    if a.streaming and a.model == "red":
+        from functools import partial
+
+        from satmvs_tpu.infer.predict import streaming_red_forward
+
+        forward = jax.jit(
+            partial(
+                streaming_red_forward,
+                geo_model=a.geo_model, ndepths=cfg.ndepths,
+                depth_intervals_ratio=cfg.depth_inter_r,
+                min_interval=cfg.min_interval, cr_base_chs=cfg.cr_base_chs,
+            )
+        )
+        run = lambda nb: forward(variables, nb["imgs"], nb["cams"], nb["depth_values"])
+    else:
+        @jax.jit
+        def run_jit(variables, imgs, cams, dvals):
+            return model.apply(variables, imgs, cams, dvals, train=False)
+
+        run = lambda nb: run_jit(variables, nb["imgs"], nb["cams"], nb["depth_values"])
+
+    out_root = os.path.join(a.dataset_root, "mvs_results")
+    per_scene: dict[str, dict] = {}
+    t0 = time.time()
+    for i, batch in enumerate(ld):
+        t1 = time.time()
+        out = run(numeric_batch(batch))
+        depth = np.asarray(out["depth"][0], np.float32)
+        prob = np.asarray(out["photometric_confidence"][0], np.float32)
+        view, name = batch["out_view"][0], batch["out_name"][0]
+        for sub, arr in (("init", depth), ("prob", prob)):
+            d = os.path.join(out_root, view, sub)
+            os.makedirs(d, exist_ok=True)
+            formats.save_pfm(os.path.join(d, f"{name}.pfm"), arr)
+        print(f"iter {i}/{len(ld)} view={view} {name} time={time.time() - t1:.3f}s")
+        per_scene.setdefault(name, {})[view] = (depth, prob, i)
+
+    print(f"prediction done in {time.time() - t0:.1f}s")
+
+    if a.fuse and a.geo_model == "rpc":
+        from satmvs_tpu.infer.fuse import fuse_scene_to_dsm
+
+        for name, views in per_scene.items():
+            order = sorted(views.keys())
+            depths = np.stack([views[v][0] for v in order])
+            prob = views[order[0]][1]
+            rpcs = np.stack(
+                [formats.load_rpc(os.path.join(
+                    a.dataset_root, "rpc", v, f"{name}.rpc"))[0] for v in order]
+            )
+            out_path = os.path.join(out_root, f"{name}_dsm.tif")
+            path, mask, _ = fuse_scene_to_dsm(
+                depths, rpcs, out_path, grid_res=a.grid_res, prob=prob,
+                p_ratio=a.p_ratio, d_ratio=a.d_ratio,
+                geo_consist_num=a.geo_consist_num,
+                confidence_ratio=a.confidence_ratio,
+            )
+            print(f"fused {name}: {path} (valid {mask.mean():.1%})")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Training / evaluation / profiling CLI.
+
+Counterpart of /root/reference/train.py with the same flag surface
+(--mode --model --geo_model --ndepths ... see satmvs_tpu/train/config.py).
+Unlike the reference, --mode=profile is actually implemented: it traces a few
+training steps with jax.profiler into <logdir>/profile.
+
+Usage:
+  python scripts/train.py --mode=train --model=red --geo_model=rpc \
+      --dataset_root=/path/WHU_TLC --min_interval=5 --ndepths=64,32,8
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    from satmvs_tpu.data.dataset import find_dataset
+    from satmvs_tpu.data.loader import Loader
+    from satmvs_tpu.train import Config, fit
+    from satmvs_tpu.train.config import Config as Cfg
+
+    cfg = Cfg.from_args()
+    workdir = os.path.join(cfg.logdir, cfg.model, cfg.geo_model)
+    os.makedirs(workdir, exist_ok=True)
+
+    trainpath = os.path.join(cfg.dataset_root, f"open_dataset_{cfg.geo_model}", "train")
+    testpath = os.path.join(cfg.dataset_root, f"open_dataset_{cfg.geo_model}", "test")
+    if not os.path.isdir(trainpath):
+        # allow pointing dataset_root directly at a split directory
+        trainpath = testpath = cfg.dataset_root
+
+    ds_cls = find_dataset(cfg.geo_model)
+    make = lambda path, mode: ds_cls(
+        path, mode, cfg.view_num, cfg.ref_view, cfg.geo_model, cfg.num_stage, cfg.seed
+    )
+
+    if cfg.mode == "train":
+        tl = Loader(make(trainpath, "train"), cfg.batch_size, shuffle=True, seed=cfg.seed)
+        el = Loader(make(testpath, "test"), cfg.batch_size)
+        fit(cfg, tl, el, workdir)
+    elif cfg.mode == "test":
+        from satmvs_tpu.train.checkpoints import restore_checkpoint
+        from satmvs_tpu.train.loop import (
+            create_model_and_state,
+            make_eval_step,
+            numeric_batch,
+        )
+        from satmvs_tpu.train.metrics import DictAverageMeter
+
+        el = Loader(make(testpath, "test"), cfg.batch_size)
+        first = next(iter(el))
+        model, state, _ = create_model_and_state(cfg, first, steps_per_epoch=1)
+        restored, ep = restore_checkpoint(workdir if cfg.loadckpt is None else cfg.loadckpt, state)
+        if restored is None:
+            raise SystemExit(f"no checkpoint found under {workdir}")
+        print(f"loaded checkpoint epoch {ep}")
+        eval_step = make_eval_step(model, tuple(cfg.dlossw), cfg.min_interval)
+        meter = DictAverageMeter()
+        for i, batch in enumerate(el):
+            scalars, depth, conf = eval_step(restored, numeric_batch(batch))
+            scal = {k: float(v) for k, v in scalars.items()}
+            meter.update(scal)
+            print(f"iter {i}/{len(el)} {batch['out_name'][0]} {scal}")
+        print("final:", meter.mean())
+    elif cfg.mode == "profile":
+        import jax
+
+        tl = Loader(make(trainpath, "train"), cfg.batch_size, shuffle=True, seed=cfg.seed)
+        from satmvs_tpu.train.loop import create_model_and_state, make_train_step, numeric_batch
+
+        first = next(iter(tl))
+        model, state, tx = create_model_and_state(cfg, first, steps_per_epoch=max(len(tl), 1))
+        step = make_train_step(model, tx, tuple(cfg.dlossw))
+        nb = numeric_batch(first)
+        state, _ = step(state, nb)  # compile outside the trace
+        profile_dir = os.path.join(workdir, "profile")
+        with jax.profiler.trace(profile_dir):
+            for _ in range(3):
+                state, scalars = step(state, nb)
+            jax.block_until_ready(scalars)
+        print(f"profile written to {profile_dir}")
+
+
+if __name__ == "__main__":
+    main()
