@@ -34,15 +34,27 @@ NUM_DEPTH = 64
 NUM_SRC = 2
 
 
-def _time_fn(fn, *args, warmup: int = 2, iters: int = 10) -> float:
-    import jax
+def _time_fn(step, iters: int = 10) -> float:
+    """Device time per iteration of `step: scalar -> scalar`.
 
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+    The remote-TPU tunnel adds per-dispatch latency and weak host-side
+    blocking, so host-side loops mis-measure.  Instead `step` (which must
+    fold its inputs with the carried scalar so iterations are data-dependent)
+    is run `iters` times inside ONE jitted fori_loop — a single dispatch, a
+    single scalar readback, pure pipelined device time.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(c0):
+        return jax.lax.fori_loop(0, iters, lambda i, c: step(c), c0)
+
+    jax.block_until_ready(run(jnp.float32(0)))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
+    out = run(jnp.float32(1))
     jax.block_until_ready(out)
+    _ = float(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -70,13 +82,14 @@ def bench_plane_sweep() -> float:
     h_min, h_max = rpclib.height_range(rpcs[2])
     depths = jnp.linspace(h_min, h_max, NUM_DEPTH, dtype=jnp.float32)
 
-    @jax.jit
-    def sweep(ref, srcs, depths):
-        return sweep_variance_volume(
-            ref, srcs, lambda sf, s: warplib.rpc_warp(sf, cams, s, depths)
+    def step(c):
+        vol = sweep_variance_volume(
+            ref + c * 1e-12, srcs,
+            lambda sf, s: warplib.rpc_warp(sf, cams, s, depths),
         )
+        return vol.ravel()[0]
 
-    dt = _time_fn(sweep, ref, srcs, depths)
+    dt = _time_fn(step)
     views_per_s = NUM_SRC / dt
     pts = NUM_SRC * NUM_DEPTH * FEAT_H * FEAT_W
     print(
@@ -104,14 +117,17 @@ def bench_model_forward() -> float:
         batch["imgs"], batch["cams"], batch["depth_values"], train=False,
     )
 
-    @jax.jit
-    def forward(variables, imgs, cams, dvals):
-        return model.apply(variables, imgs, cams, dvals, train=False)["depth"]
+    import jax.numpy as jnp
 
-    dt = _time_fn(
-        forward, variables, batch["imgs"], batch["cams"], batch["depth_values"],
-        warmup=1, iters=5,
-    )
+    imgs = jnp.asarray(batch["imgs"])
+    cams = batch["cams"]
+    dvals = jnp.asarray(batch["depth_values"])
+
+    def step(c):
+        out = model.apply(variables, imgs + c * 1e-12, cams, dvals, train=False)
+        return out["depth"].ravel()[0]
+
+    dt = _time_fn(step, iters=5)
     print(f"[bench] red_forward_384x768: {dt * 1e3:.1f} ms/image, {1 / dt:.2f} images/s",
           file=sys.stderr)
     return 1.0 / dt
