@@ -27,7 +27,15 @@ except ImportError:  # pragma: no cover
 # PFM (ref data_io.py:17-74)
 # ---------------------------------------------------------------------------
 def load_pfm(path: str) -> np.ndarray:
-    """Read a PFM file → (H, W) or (H, W, 3) float32 (top row first)."""
+    """Read a PFM file → (H, W) or (H, W, 3) float32 (top row first).
+
+    Uses the native C++ decoder (satmvs_tpu.native) when available."""
+    from .. import native
+
+    if native.available():
+        out = native.pfm_read(path)
+        if out is not None:
+            return out
     with open(path, "rb") as f:
         header = f.readline().decode("latin-1").rstrip()
         if header == "PF":
@@ -54,6 +62,10 @@ def save_pfm(path: str, image: np.ndarray, scale: float = 1.0) -> None:
     color = image.ndim == 3 and image.shape[2] == 3
     if not (color or image.ndim == 2 or (image.ndim == 3 and image.shape[2] == 1)):
         raise ValueError("image must be HxW, HxWx1, or HxWx3")
+    from .. import native
+
+    if native.available() and native.pfm_write(path, image):
+        return
     flipped = np.flipud(image)
     endian = image.dtype.byteorder
     if endian == "<" or (endian == "=" and sys.byteorder == "little"):

@@ -17,7 +17,13 @@ import numpy as np
 
 def center_image(img: np.ndarray) -> np.ndarray:
     """Per-image mean/std normalization over spatial dims
-    (ref preprocess.py:150-160)."""
+    (ref preprocess.py:150-160).  Native C++ path when available."""
+    from .. import native
+
+    if native.available():
+        out = native.center_image(img)
+        if out is not None:
+            return out
     img = np.asarray(img, dtype=np.float32)
     mean = img.mean(axis=(0, 1), keepdims=True)
     var = img.var(axis=(0, 1), keepdims=True)

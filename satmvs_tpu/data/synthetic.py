@@ -235,6 +235,7 @@ def write_synthetic_dataset(
     view_num: int = 3,
     seed: int = 0,
     h_amp: float = 80.0,
+    **rpc_kwargs,
 ) -> str:
     """Materialize synthetic scenes in the WHU-TLC on-disk layout
     (image/{v}/name.png, rpc/{v}/name.rpc, height/{v}/name.pfm — ref
@@ -251,7 +252,7 @@ def write_synthetic_dataset(
             os.makedirs(os.path.join(root, kind, str(v)), exist_ok=True)
 
     for s in range(num_scenes):
-        rpcs = make_rpc_triplet(width, height, seed=seed + 31 * s)
+        rpcs = make_rpc_triplet(width, height, seed=seed + 31 * s, **rpc_kwargs)
         name = f"scene{s:04d}"
         for v, rpc in enumerate(rpcs):
             img, hmap = render_view(rpc, width, height, terrain_seed=seed + 31 * s, h_amp=h_amp)
