@@ -95,6 +95,72 @@ def check_perspective_error(xx, yy, zz, col, row, k, r, t, keep_mask=None):
     return proj_err, inv_proj_err
 
 
+def remap_skew(image: np.ndarray, k: np.ndarray):
+    """Resample an image to remove the intrinsic skew term K[0,1].
+
+    The "Skew correction" applied to open_dataset_pinhole images
+    (ref /root/reference/tools/tools.py:21-40; WHU_TLC/readme.md:90): maps the
+    image through K_noskew · K⁻¹ and zeroes the skew in the returned
+    intrinsics.  Bilinear sampling, host-side.
+    Returns (image_noskew, K_noskew).
+    """
+    k = np.asarray(k, dtype=np.float64)
+    k_ns = k.copy()
+    k_ns[0, 1] = 0.0
+    # target pixel (x, y) ← source pixel K · K_ns⁻¹ · (x, y, 1)
+    m = k @ np.linalg.inv(k_ns)
+    h, w = image.shape[:2]
+    xs, ys = np.meshgrid(np.arange(w, dtype=np.float64), np.arange(h, dtype=np.float64))
+    src = np.stack([xs, ys, np.ones_like(xs)], axis=-1) @ m.T
+    sx = src[..., 0] / src[..., 2]
+    sy = src[..., 1] / src[..., 2]
+
+    from scipy.ndimage import map_coordinates
+
+    if image.ndim == 2:
+        out = map_coordinates(image.astype(np.float64), [sy, sx], order=1, mode="constant")
+    else:
+        out = np.stack(
+            [
+                map_coordinates(image[..., c].astype(np.float64), [sy, sx], order=1, mode="constant")
+                for c in range(image.shape[2])
+            ],
+            axis=-1,
+        )
+    return out.astype(image.dtype), k_ns
+
+
+def fit_pinhole_from_rpc(rpc, width: int, height: int, tm=None,
+                         xy_samples: int = 20, z_samples: int = 10):
+    """Fit a pinhole camera K·[R|t] approximating an RPC over its validity box.
+
+    The open_dataset_pinhole generation path (WHU_TLC/readme.md:84-110,
+    VisSat-style): sample a photo-space grid, invert the RPC to (lat, lon, h),
+    project object points to a local metric frame (UTM East/North/height via
+    the scene's Transverse-Mercator zone), and DLT-fit.
+
+    Returns (K, R, t, proj_err_px, inv_err_m).
+    """
+    from . import rpc as rpclib
+    from .tmerc import TransverseMercator
+
+    rpc = np.asarray(rpc, dtype=np.float64)
+    tm = tm or TransverseMercator.utm_for(float(rpc[rpclib.LON_OFF]))
+
+    h_min, h_max = rpclib.height_range(rpc)
+    x = np.linspace(0, width - 1, xy_samples)
+    y = np.linspace(0, height - 1, xy_samples)
+    z = np.linspace(h_min, h_max, z_samples)
+    gx, gy, gz = (g.reshape(-1) for g in np.meshgrid(x, y, z))
+    lat, lon = rpclib.photo_to_obj(rpc, gx, gy, gz)
+    en = tm.proj(np.stack([lat, lon], axis=-1))
+    xx, yy = en[:, 0], en[:, 1]
+
+    k, r, t = solve_perspective(xx, yy, gz, gx, gy)
+    proj_err, inv_err = check_perspective_error(xx, yy, gz, gx, gy, k, r, t)
+    return k, r, t, proj_err, inv_err
+
+
 def compose_proj_matrix(intrinsics: np.ndarray, extrinsics: np.ndarray) -> np.ndarray:
     """4x4 projection matrix [K·E[:3]; 0 0 0 1] as the warp consumes it
     (ref /root/reference/dataset/virdataset.py:67-70)."""

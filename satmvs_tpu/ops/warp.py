@@ -179,6 +179,81 @@ def rpc_warp(src_feat: jnp.ndarray, cams: RpcWarpCams, src_index, depth_values: 
 
 
 # ---------------------------------------------------------------------------
+# quaternary-cubic (QC) form variant — the reference's `use_qc` path
+# ---------------------------------------------------------------------------
+class QcWarpCams(NamedTuple):
+    """Camera bundle for the QC-form RPC sweep (ref modules/warping.py:47-178).
+
+    Same normalization/renorm scalars as RpcWarpCams; polynomials are packed
+    as symmetric (4, 4, 4) tensors evaluated by an einsum (a dot_general
+    chain on TPU).  Functionally identical to the 20-term basis path — kept
+    for feature parity with `--use_qc` and as a cross-validation path.
+    """
+
+    ref_inv_qc: jnp.ndarray   # (4, 4, 4, 4)  [latnum, latden, lonnum, londen]
+    ref_norm: jnp.ndarray     # (3, 2)
+    src_fwd_qc: jnp.ndarray   # (S, 4, 4, 4, 4)  [snum, sden, lnum, lden]
+    src_denorm: jnp.ndarray   # (S, 2, 2)
+    renorm: jnp.ndarray       # (S, 3, 2)
+
+
+def build_qc_warp_cams(rpcs: np.ndarray, ref_index: int = 0, stage_scale: float = 1.0) -> QcWarpCams:
+    base = build_rpc_warp_cams(rpcs, ref_index, stage_scale)
+    rpcs = np.asarray(rpcs, dtype=np.float64)
+    scaled = np.stack([rpclib.scale_rpc(r.copy(), stage_scale) for r in rpcs])
+    ref = scaled[ref_index]
+    srcs = [scaled[v] for v in range(len(scaled)) if v != ref_index]
+    ref_qc = np.stack([rpclib.to_qc_tensor(ref[sl])
+                       for sl in (rpclib.LATNUM, rpclib.LATDEM, rpclib.LONNUM, rpclib.LONDEM)])
+    src_qc = np.stack([
+        np.stack([rpclib.to_qc_tensor(s[sl])
+                  for sl in (rpclib.SNUM, rpclib.SDEM, rpclib.LNUM, rpclib.LDEM)])
+        for s in srcs
+    ])
+    return QcWarpCams(
+        ref_inv_qc=jnp.asarray(ref_qc, jnp.float32),
+        ref_norm=base.ref_norm,
+        src_fwd_qc=jnp.asarray(src_qc, jnp.float32),
+        src_denorm=base.src_denorm,
+        renorm=base.renorm,
+    )
+
+
+def _qc_pair(qc4: jnp.ndarray, p, l, h):
+    """Evaluate two rational QC polynomials: qc4 (4, 4, 4, 4) =
+    [num_a, den_a, num_b, den_b]; x = (1, L, P, H) per the reference packing
+    (ref modules/warping.py:80-81,120-121)."""
+    x = jnp.stack([jnp.ones_like(p), l, p, h], axis=-1)         # (..., 4)
+    vals = jnp.einsum("...i,...j,...k,nijk->...n", x, x, x, qc4)
+    return vals[..., 0] / vals[..., 1], vals[..., 2] / vals[..., 3]
+
+
+def rpc_sweep_coords_qc(cams: QcWarpCams, src_index, depth_values: jnp.ndarray, height: int, width: int):
+    """QC-form twin of `rpc_sweep_coords` (flag parity with --use_qc)."""
+    d = depth_values.shape[0]
+    if depth_values.ndim == 1:
+        depth_values = depth_values.reshape(d, 1, 1) * jnp.ones((1, height, width), depth_values.dtype)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (d, height, width), 2)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (d, height, width), 1)
+
+    rn = cams.ref_norm
+    xn = (xs - rn[0, 0]) * rn[0, 1]
+    yn = (ys - rn[1, 0]) * rn[1, 1]
+    hn = (depth_values.astype(jnp.float32) - rn[2, 0]) * rn[2, 1]
+
+    # inverse: P = samp_n, L = line_n
+    lat_n, lon_n = _qc_pair(cams.ref_inv_qc, xn, yn, hn)
+    aff = cams.renorm[src_index]
+    lat_s = lat_n * aff[0, 0] + aff[0, 1]
+    lon_s = lon_n * aff[1, 0] + aff[1, 1]
+    hei_s = hn * aff[2, 0] + aff[2, 1]
+    # direct: P = lat_n, L = lon_n
+    samp_n, line_n = _qc_pair(cams.src_fwd_qc[src_index], lat_s, lon_s, hei_s)
+    dn = cams.src_denorm[src_index]
+    return samp_n * dn[0, 0] + dn[0, 1], line_n * dn[1, 0] + dn[1, 1]
+
+
+# ---------------------------------------------------------------------------
 # pinhole homography sweep
 # ---------------------------------------------------------------------------
 def homo_sweep_coords(src_proj: jnp.ndarray, ref_proj: jnp.ndarray, depth_values: jnp.ndarray, height: int, width: int):

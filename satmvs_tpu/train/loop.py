@@ -91,7 +91,6 @@ def make_train_step(model, tx, dlossw) -> Callable:
         (loss, (out, updates, depth_loss)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
-        new_params = None
         upd, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, upd)
         new_state = TrainState(

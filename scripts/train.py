@@ -18,6 +18,13 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# optional backend override (the axon sitecustomize pins the TPU backend;
+# SATMVS_PLATFORM=cpu runs the CLI on host, e.g. for smoke tests)
+if os.environ.get("SATMVS_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["SATMVS_PLATFORM"])
+
 
 def main() -> None:
     from satmvs_tpu.data.dataset import find_dataset
