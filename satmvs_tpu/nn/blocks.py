@@ -60,7 +60,7 @@ class ConvBlock(nn.Module):
             )(x)
         elif self.norm == "gn":
             groups = max(1, self.features // 8)
-            x = nn.GroupNorm(num_groups=groups)(x)
+            x = nn.GroupNorm(num_groups=groups, epsilon=1e-5)(x)
         if self.relu:
             x = nn.relu(x)
         return x
@@ -84,11 +84,19 @@ class DeconvBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         bias = (self.norm == "none") if self.use_bias is None else self.use_bias
+        # torch-exact ConvTranspose semantics (kernel k, stride s, padding k//2,
+        # output_padding s−1): pad (k−1−k//2, k−1−k//2+s−1) per spatial dim with
+        # transpose_kernel=True — bit-equal to nn.ConvTranspose2d/3d, so
+        # reference checkpoints convert exactly (see train/convert.py).
+        k = self.kernel_size
+        lo = k - 1 - k // 2
+        pad = [(lo, lo + self.stride - 1)] * self.dims
         x = nn.ConvTranspose(
             self.features,
-            (self.kernel_size,) * self.dims,
+            (k,) * self.dims,
             strides=(self.stride,) * self.dims,
-            padding="SAME",
+            padding=pad,
+            transpose_kernel=True,
             use_bias=bias,
         )(x)
         if self.norm == "bn":
@@ -97,7 +105,7 @@ class DeconvBlock(nn.Module):
             )(x)
         elif self.norm == "gn":
             groups = max(1, self.features // 8)
-            x = nn.GroupNorm(num_groups=groups)(x)
+            x = nn.GroupNorm(num_groups=groups, epsilon=1e-5)(x)
         if self.relu:
             x = nn.relu(x)
         return x
@@ -123,14 +131,14 @@ class ConvGRUCell(nn.Module):
             padding=[(p, p)] * 2,
         )(jnp.concatenate([x, h], axis=-1))
         r, u = jnp.split(gates, 2, axis=-1)
-        r = nn.sigmoid(nn.GroupNorm(num_groups=1)(r))
-        u = nn.sigmoid(nn.GroupNorm(num_groups=1)(u))
+        r = nn.sigmoid(nn.GroupNorm(num_groups=1, epsilon=1e-5)(r))
+        u = nn.sigmoid(nn.GroupNorm(num_groups=1, epsilon=1e-5)(u))
         y = nn.Conv(
             self.features,
             (self.kernel_size,) * 2,
             padding=[(p, p)] * 2,
         )(jnp.concatenate([x, r * h], axis=-1))
-        y = jnp.tanh(nn.GroupNorm(num_groups=1)(y))
+        y = jnp.tanh(nn.GroupNorm(num_groups=1, epsilon=1e-5)(y))
         out = u * h + (1.0 - u) * y
         return out, out
 

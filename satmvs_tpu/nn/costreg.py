@@ -19,16 +19,15 @@ class CostRegNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         b = self.base_channels
+        # sequential statements so flax module names follow dataflow order
+        # (conv0..conv6 ↔ ConvBlock_0..6 — the converter relies on this)
         conv0 = ConvBlock(b, 3, dims=3)(x, train)
-        conv2 = ConvBlock(b * 2, 3, dims=3)(
-            ConvBlock(b * 2, 3, stride=2, dims=3)(conv0, train), train
-        )
-        conv4 = ConvBlock(b * 4, 3, dims=3)(
-            ConvBlock(b * 4, 3, stride=2, dims=3)(conv2, train), train
-        )
-        x = ConvBlock(b * 8, 3, dims=3)(
-            ConvBlock(b * 8, 3, stride=2, dims=3)(conv4, train), train
-        )
+        down1 = ConvBlock(b * 2, 3, stride=2, dims=3)(conv0, train)
+        conv2 = ConvBlock(b * 2, 3, dims=3)(down1, train)
+        down3 = ConvBlock(b * 4, 3, stride=2, dims=3)(conv2, train)
+        conv4 = ConvBlock(b * 4, 3, dims=3)(down3, train)
+        down5 = ConvBlock(b * 8, 3, stride=2, dims=3)(conv4, train)
+        x = ConvBlock(b * 8, 3, dims=3)(down5, train)
         x = conv4 + DeconvBlock(b * 4, 3, dims=3)(x, train)
         x = conv2 + DeconvBlock(b * 2, 3, dims=3)(x, train)
         x = conv0 + DeconvBlock(b, 3, dims=3)(x, train)
