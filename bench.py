@@ -51,11 +51,14 @@ def _time_fn(step, iters: int = 10) -> float:
         return jax.lax.fori_loop(0, iters, lambda i, c: step(c), c0)
 
     jax.block_until_ready(run(jnp.float32(0)))  # compile + warm
-    t0 = time.perf_counter()
-    out = run(jnp.float32(1))
-    jax.block_until_ready(out)
-    _ = float(out)
-    return (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for rep in range(3):  # best-of-3: the remote chip shows run-to-run noise
+        t0 = time.perf_counter()
+        out = run(jnp.float32(1 + rep))
+        jax.block_until_ready(out)
+        _ = float(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
 
 
 def bench_plane_sweep() -> float:
@@ -82,10 +85,29 @@ def bench_plane_sweep() -> float:
     h_min, h_max = rpclib.height_range(rpcs[2])
     depths = jnp.linspace(h_min, h_max, NUM_DEPTH, dtype=jnp.float32)
 
+    # shipped inference path: fused Pallas sweep+variance kernel with the
+    # coarse-grid projection; stencil size validated on this geometry first
+    # (count_misses == 0 ⇒ the 25-tap stencil covers every sample)
+    from satmvs_tpu.ops.coarse_coords import rpc_sweep_coords_coarse
+    from satmvs_tpu.ops.pallas.sweep_gather import count_misses
+    from satmvs_tpu.ops.pallas.sweep_variance import sweep_variance
+
+    coords = [rpc_sweep_coords_coarse(cams, s, depths, FEAT_H, FEAT_W) for s in range(NUM_SRC)]
+    misses = sum(
+        int(count_misses(x, y, FEAT_H, FEAT_W, 4, 4).sum()) for x, y in coords
+    )
+    stencil = 4 if misses == 0 else 8
+    print(f"[bench] stencil={stencil} (kv4 misses={misses})", file=sys.stderr)
+
     def step(c):
-        vol = sweep_variance_volume(
-            ref + c * 1e-12, srcs,
-            lambda sf, s: warplib.rpc_warp(sf, cams, s, depths),
+        d = depths + c * 1e-9
+        cs = [rpc_sweep_coords_coarse(cams, s, d, FEAT_H, FEAT_W) for s in range(NUM_SRC)]
+        import jax.numpy as jnp
+
+        vol = sweep_variance(
+            ref, srcs,
+            jnp.stack([x for x, _ in cs]), jnp.stack([y for _, y in cs]),
+            kv=stencil, ks=stencil,
         )
         return vol.ravel()[0]
 

@@ -73,9 +73,39 @@ def stage_hypotheses(
     return jax.vmap(lambda c: depth_range.window_samples(c, nd, interval))(cur)
 
 
-def build_stage_volume(geo_model: str, feats, cams, hyps):
+def build_stage_volume(geo_model: str, feats, cams, hyps, fused: bool = False,
+                       stencil: int = 8):
     """(B, V, h, w, C) features + cameras + (B, D, h, w) hypotheses →
-    (B, D, h, w, C) variance cost volume (batch via vmap)."""
+    (B, D, h, w, C) variance cost volume (batch via vmap).
+
+    fused=True (inference on TPU): ONE Pallas kernel warps all source views
+    and accumulates the variance moments — per-view warped volumes never
+    touch HBM (ops/pallas/sweep_variance.py).  The fused kernel has no VJP,
+    so training uses the per-view path.
+    """
+    if geo_model == "rpc" and fused and jax.default_backend() == "tpu":
+        from ..ops.coarse_coords import rpc_sweep_coords_coarse
+        from ..ops.pallas.sweep_variance import sweep_variance
+
+        b, v, sh, sw, _ = feats.shape
+
+        def one(feats_b, cams_b: RpcWarpCams, hyps_b):
+            coords = [
+                rpc_sweep_coords_coarse(cams_b, s, hyps_b, sh, sw)
+                for s in range(v - 1)
+            ]
+            xs = jnp.stack([c[0] for c in coords])
+            ys = jnp.stack([c[1] for c in coords])
+            return sweep_variance(feats_b[0], feats_b[1:], xs, ys,
+                                  kv=stencil, ks=stencil)
+
+        # static python loop over batch (pallas under vmap is fragile)
+        vols = [
+            one(feats[i], jax.tree.map(lambda x: x[i], cams), hyps[i])
+            for i in range(b)
+        ]
+        return jnp.stack(vols)
+
     if geo_model == "rpc":
 
         def one(feats_b, cams_b: RpcWarpCams, hyps_b):
@@ -117,6 +147,10 @@ class CascadeModel(nn.Module):
     # running under a mesh context) XLA keeps volumes sharded over the named
     # axes and inserts conv halo exchanges — see dist/mesh.py.
     volume_partition: object = None
+    # Tap-stencil half-width of the fused inference sweep kernel; 8 is safe
+    # for any plausible satellite geometry, 4 is ~1.5x faster and valid when
+    # ops.pallas.sweep_gather.count_misses reports 0 for the scene's cameras.
+    sweep_stencil: int = 8
 
     @nn.compact
     def __call__(self, imgs, cams, depth_values, train: bool = False):
@@ -164,7 +198,10 @@ class CascadeModel(nn.Module):
             )
 
             # ---- cost volume + regularization
-            volume = build_stage_volume(self.geo_model, stage_feats[i], cams[i], hyps)
+            volume = build_stage_volume(
+                self.geo_model, stage_feats[i], cams[i], hyps,
+                fused=not train, stencil=self.sweep_stencil,
+            )
             if self.volume_partition is not None:
                 volume = jax.lax.with_sharding_constraint(volume, self.volume_partition)
             logits = regs[i](volume) if self.regularizer == "red" else regs[i](volume, train)

@@ -1,0 +1,167 @@
+"""Fully fused plane-sweep variance cost volume — Pallas TPU kernel.
+
+One kernel = the entire hot loop of cost-volume construction
+(/root/reference/networks/casred.py:38-53): for each (depth plane, row-tile)
+program, warp EVERY source view with the stencil sampler of sweep_gather.py
+and accumulate the across-view variance on the fly:
+
+    var = (ref² + Σ_s warped_s²)/V − ((ref + Σ_s warped_s)/V)²
+
+Only the (D, H, C, W) variance volume ever touches HBM — the per-view warped
+volumes (2 × 150 MB at stage-1 geometry) never materialize.  Inherits the
+per-tile base-offset + aligned-DMA + residual-roll machinery and the
+coverage contract (`sweep_gather.count_misses`) from sweep_gather.py.
+
+Inference-only fusion: gradients need the per-view volumes, so training uses
+the per-view `sweep_gather` (which has a VJP).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .sweep_gather import BLOCK_ROWS, PAD, VPAD, _round_up
+
+
+def _sweep_variance_kernel(
+    x_ref, y_ref, ref_tile, srcs_hbm, out_ref, patch_ref, sems,
+    *, kv: int, ks: int, height: int, width: int, channels: int, n_src: int,
+):
+    bh = BLOCK_ROWS
+    t = pl.program_id(1)
+    tile_row0 = t * bh
+    kh = bh + kv
+    wp = width + ks
+    wpp = _round_up(wp + 128, 128)
+    h_tot = height + 2 * VPAD
+    w_tot = width + 2 * PAD
+
+    jj = jax.lax.broadcasted_iota(jnp.int32, (bh, width), 1)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (bh, width), 0)
+    big = jnp.int32(10**9)
+
+    # ---- per-view window placement + DMA launch (overlapped across views)
+    placements = []
+    for s in range(n_src):
+        x = x_ref[s, 0]
+        y = y_ref[s, 0]
+        x0 = jnp.floor(x).astype(jnp.int32)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        rel_x = x0 - jj
+        rel_y = y0 - (ii + tile_row0)
+        valid_any = (x0 >= -1) & (x0 <= width - 1) & (y0 >= -1) & (y0 <= height - 1)
+        col_base = jnp.min(jnp.where(valid_any, rel_x, big))
+        row_base = jnp.min(jnp.where(valid_any, rel_y, big))
+        col_base = jnp.where(col_base == big, 0, col_base)
+        row_base = jnp.where(row_base == big, 0, row_base)
+        row_start = jnp.clip(tile_row0 + row_base + VPAD, 0, h_tot - kh)
+        col_start = jnp.clip(col_base + PAD, 0, w_tot - wp)
+        col_start128 = pl.multiple_of(
+            jnp.clip((col_start // 128) * 128, 0, w_tot - wpp), 128
+        )
+        dma = pltpu.make_async_copy(
+            srcs_hbm.at[s, pl.ds(row_start, kh), :, pl.ds(col_start128, wpp)],
+            patch_ref.at[s],
+            sems.at[s],
+        )
+        dma.start()
+        placements.append((dma, x, y, x0, y0, rel_x, rel_y, row_start, col_start,
+                           col_start - col_start128))
+
+    # ---- moments, seeded with the reference view's tile
+    rt = ref_tile[:]                               # (BH, C, W)
+    acc_sum = rt.astype(jnp.float32)
+    acc_sq = (rt * rt).astype(jnp.float32)
+
+    for s in range(n_src):
+        (dma, x, y, x0, y0, rel_x, rel_y, row_start, col_start, rc) = placements[s]
+        fx = x - jnp.floor(x)
+        fy = y - jnp.floor(y)
+        dv_idx = rel_y - (row_start - VPAD - tile_row0)
+        ds_idx = rel_x - (col_start - PAD)
+        vx0 = (x0 >= 0) & (x0 <= width - 1)
+        vx1 = (x0 + 1 >= 0) & (x0 + 1 <= width - 1)
+        vy0 = (y0 >= 0) & (y0 <= height - 1)
+        vy1 = (y0 + 1 >= 0) & (y0 + 1 <= height - 1)
+
+        dma.wait()
+        patch = patch_ref[s]
+        patch = pltpu.roll(patch, wpp - rc, 2)
+
+        warped = jnp.zeros((bh, channels, width), jnp.float32)
+        for dv in range(kv + 1):
+            wv = (
+                jnp.where((dv_idx == dv) & vy0, 1.0 - fy, 0.0)
+                + jnp.where((dv_idx + 1 == dv) & vy1, fy, 0.0)
+            ).astype(jnp.float32)
+            for ds in range(ks + 1):
+                wh = (
+                    jnp.where((ds_idx == ds) & vx0, 1.0 - fx, 0.0)
+                    + jnp.where((ds_idx + 1 == ds) & vx1, fx, 0.0)
+                ).astype(jnp.float32)
+                w = wv * wh
+                warped = warped + w[:, None, :] * patch[dv : dv + bh, :, ds : ds + width]
+        acc_sum = acc_sum + warped
+        acc_sq = acc_sq + warped * warped
+
+    inv_v = 1.0 / (n_src + 1)
+    mean = acc_sum * inv_v
+    out_ref[0] = acc_sq * inv_v - mean * mean
+
+
+@functools.partial(jax.jit, static_argnames=("kv", "ks", "interpret"))
+def sweep_variance(ref: jnp.ndarray, srcs: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
+                   kv: int = 8, ks: int = 8, interpret: bool = False):
+    """Fused variance cost volume over {ref, warped srcs}.
+
+    Args:
+      ref:  (H, W, C) reference features.
+      srcs: (S, H, W, C) source features.
+      xs, ys: (S, D, H, W) per-view plane-sweep sample coordinates.
+
+    Returns (D, H, W, C) variance volume (same math as
+    ops.cost_volume.variance_cost_volume over bilinear-warped views).
+    """
+    h, w, c = ref.shape
+    n_src, d = xs.shape[0], xs.shape[1]
+    assert h % BLOCK_ROWS == 0
+
+    ref_hcw = jnp.swapaxes(ref, 1, 2)                         # (H, C, W)
+    srcs_hcw = jnp.swapaxes(srcs, 2, 3)                       # (S, H, C, W)
+    srcs_pad = jnp.pad(srcs_hcw, ((0, 0), (VPAD, VPAD), (0, 0), (PAD, PAD)))
+
+    n_tiles = h // BLOCK_ROWS
+    kernel = functools.partial(
+        _sweep_variance_kernel, kv=kv, ks=ks, height=h, width=w, channels=c,
+        n_src=n_src,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(d, n_tiles),
+        in_specs=[
+            pl.BlockSpec((n_src, 1, BLOCK_ROWS, w), lambda di, ti: (0, di, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_src, 1, BLOCK_ROWS, w), lambda di, ti: (0, di, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_ROWS, c, w), lambda di, ti: (ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((1, BLOCK_ROWS, c, w), lambda di, ti: (di, ti, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((d, h, c, w), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM(
+                (n_src, BLOCK_ROWS + kv, c, _round_up(w + ks + 128, 128)),
+                jnp.float32,
+            ),
+            pltpu.SemaphoreType.DMA((n_src,)),
+        ],
+        interpret=interpret,
+    )(xs, ys, ref_hcw, srcs_pad)
+    return jnp.swapaxes(out, 2, 3)                            # (D, H, W, C)

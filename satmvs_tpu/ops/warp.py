@@ -158,19 +158,29 @@ def _use_pallas_gather(height: int) -> bool:
 
 
 def rpc_warp(src_feat: jnp.ndarray, cams: RpcWarpCams, src_index, depth_values: jnp.ndarray,
-             method: str = "auto"):
+             method: str = "auto", coords: str = "auto"):
     """RPC plane-sweep warp of one source feature map.
 
     src_feat: (H, W, C) — the source view's features at this stage's scale.
     depth_values: (D, H, W) or (D,) height hypotheses.
     method: "auto" (fused Pallas stencil kernel on TPU, XLA gather elsewhere),
             "pallas", or "xla".
+    coords: "auto" (coarse-grid projection on TPU — < 0.02 px vs exact, see
+            ops/coarse_coords.py — exact elsewhere), "coarse", or "exact".
     Returns (D, H, W, C).  TPU analog of /root/reference/modules/warping.py:310-365.
     """
     h, w, _ = src_feat.shape
-    x_src, y_src = jax.lax.stop_gradient(
-        rpc_sweep_coords(cams, src_index, depth_values, h, w)
-    )
+    use_coarse = coords == "coarse" or (coords == "auto" and jax.default_backend() == "tpu")
+    if use_coarse:
+        from .coarse_coords import rpc_sweep_coords_coarse
+
+        x_src, y_src = jax.lax.stop_gradient(
+            rpc_sweep_coords_coarse(cams, src_index, depth_values, h, w)
+        )
+    else:
+        x_src, y_src = jax.lax.stop_gradient(
+            rpc_sweep_coords(cams, src_index, depth_values, h, w)
+        )
     if method == "pallas" or (method == "auto" and _use_pallas_gather(h)):
         from .pallas.sweep_gather import sweep_gather
 
