@@ -5,13 +5,19 @@ Counterpart of RED_Regularization / slice_RED_Regularization
 planes with a Python for-loop (train) or streams one plane per call (infer);
 here ONE step module (`REDStep`) serves both:
 
-  * `REDRegularizer` — nn.scan of REDStep over the depth axis of a full
-    (B, D, H, W, C) variance volume, producing (B, D, H, W) logits.  This is
-    the train/test form.
-  * streaming inference (infer/predict.py) scans REDStep together with the
-    per-plane warp and an online-softmax carry, so the full volume never
-    materializes (the reference's compute_depth_when_pred design,
-    casred.py:161-238).
+  * `REDRegularizer` — the train/full-volume form.  The per-plane encoder
+    convs (conv1-3) don't touch the recurrent state, so they are *hoisted out
+    of the scan* and run once, batched over all D planes (one large MXU-
+    friendly conv batch instead of D small sequential ones); only the GRUs,
+    decoder deconvs and head stay inside the nn.scan over depth.
+  * streaming inference (infer/predict.py) calls the same `REDStep.__call__`
+    (encode + recur fused) per plane with explicit carried state, matching
+    the reference's compute_depth_when_pred design (casred.py:161-238).
+
+Submodule names are pinned so the parameter tree is identical to the
+original compact layout ("ScanREDStep_0"/ConvBlock_0.. etc.) — streaming
+inference and the reference-checkpoint converter (train/convert.py) rely on
+it.
 
 Per plane: a 3-level strided conv pyramid over the negated cost, a ConvGRU at
 each of 4 scales carrying state across planes, transposed-conv decoding with
@@ -50,26 +56,52 @@ class REDStep(nn.Module):
 
     base_channels: int = 8
 
-    @nn.compact
-    def __call__(self, states: REDStates, cost: jnp.ndarray):
-        s1, s2, s3, s4 = states
+    def setup(self):
         b = self.base_channels
+        # names pinned to the historical compact auto-names (ckpt compat)
+        self.enc1 = ConvBlock(b * 2, 3, stride=2, norm="none", use_bias=False,
+                              name="ConvBlock_0")
+        self.enc2 = ConvBlock(b * 4, 3, stride=2, norm="none", use_bias=False,
+                              name="ConvBlock_1")
+        self.enc3 = ConvBlock(b * 8, 3, stride=2, norm="none", use_bias=False,
+                              name="ConvBlock_2")
+        self.gru4 = ConvGRUCell(b * 8, name="ConvGRUCell_0")
+        self.up3 = DeconvBlock(b * 4, 3, norm="none", use_bias=False,
+                               name="DeconvBlock_0")
+        self.gru3 = ConvGRUCell(b * 4, name="ConvGRUCell_1")
+        self.up2 = DeconvBlock(b * 2, 3, norm="none", use_bias=False,
+                               name="DeconvBlock_1")
+        self.gru2 = ConvGRUCell(b * 2, name="ConvGRUCell_2")
+        self.up1 = DeconvBlock(b, 3, norm="none", use_bias=False,
+                               name="DeconvBlock_2")
+        self.gru1 = ConvGRUCell(b, name="ConvGRUCell_3")
+        self.head = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True,
+                            name="Conv_0")
+
+    def encode(self, cost: jnp.ndarray):
+        """Recurrence-independent encoder pyramid of one (or many) planes."""
         neg = -cost
+        c1 = self.enc1(neg)
+        c2 = self.enc2(c1)
+        c3 = self.enc3(c2)
+        return neg, c1, c2, c3
 
-        c1 = ConvBlock(b * 2, 3, stride=2, norm="none", use_bias=False)(neg)
-        c2 = ConvBlock(b * 4, 3, stride=2, norm="none", use_bias=False)(c1)
-        c3 = ConvBlock(b * 8, 3, stride=2, norm="none", use_bias=False)(c2)
-
-        r4, s4 = ConvGRUCell(b * 8)(c3, s4)
-        u3 = DeconvBlock(b * 4, 3, norm="none", use_bias=False)(r4)
-        r3, s3 = ConvGRUCell(b * 4)(c2, s3)
-        u2 = DeconvBlock(b * 2, 3, norm="none", use_bias=False)(u3 + r3)
-        r2, s2 = ConvGRUCell(b * 2)(c1, s2)
-        u1 = DeconvBlock(b, 3, norm="none", use_bias=False)(u2 + r2)
-        r1, s1 = ConvGRUCell(b)(neg, s1)
-
-        logits = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True)(u1 + r1)
+    def recur(self, states: REDStates, neg, c1, c2, c3):
+        """Recurrent decode of one plane given its precomputed encoding."""
+        s1, s2, s3, s4 = states
+        r4, s4 = self.gru4(c3, s4)
+        u3 = self.up3(r4)
+        r3, s3 = self.gru3(c2, s3)
+        u2 = self.up2(u3 + r3)
+        r2, s2 = self.gru2(c1, s2)
+        u1 = self.up1(u2 + r2)
+        r1, s1 = self.gru1(neg, s1)
+        logits = self.head(u1 + r1)
         return (s1, s2, s3, s4), logits[..., 0]
+
+    def __call__(self, states: REDStates, cost: jnp.ndarray):
+        neg, c1, c2, c3 = self.encode(cost)
+        return self.recur(states, neg, c1, c2, c3)
 
 
 class REDRegularizer(nn.Module):
@@ -79,14 +111,23 @@ class REDRegularizer(nn.Module):
 
     @nn.compact
     def __call__(self, volume: jnp.ndarray) -> jnp.ndarray:
-        batch, _, height, width, _ = volume.shape
+        batch, d, height, width, cin = volume.shape
+        step = REDStep(self.base_channels, name="ScanREDStep_0")
+
+        # hoisted encoder: one batched pass over all planes
+        flat = volume.reshape(batch * d, height, width, cin)
+        neg, c1, c2, c3 = step.encode(flat)
+        enc = tuple(
+            t.reshape(batch, d, *t.shape[1:]) for t in (neg, c1, c2, c3)
+        )
+
         states = init_red_states(batch, height, width, self.base_channels, volume.dtype)
         scanned = nn.scan(
-            REDStep,
+            lambda mdl, carry, xs: mdl.recur(carry, *xs),
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=1,
             out_axes=1,
-        )(base_channels=self.base_channels)
-        _, logits = scanned(states, volume)
+        )
+        _, logits = scanned(step, states, enc)
         return logits
