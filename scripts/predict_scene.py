@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Whole-scene prediction CLI: one large satellite scene (the "Open" dataset
+variant — full images + RPCs, WHU_TLC/readme.md:48) → tiled inference →
+stitched height/confidence maps (→ optional fused DSM with other views).
+
+The reference required offline pre-cutting into network-sized blocks; this
+driver tiles on the fly with halo interiors (satmvs_tpu.infer.scene).
+
+Usage:
+  python scripts/predict_scene.py \
+      --images v0.png v1.png v2.png --rpcs v0.rpc v1.rpc v2.rpc \
+      --loadckpt checkpoints/red/rpc --out scene_height.pfm \
+      [--ref_index 2] [--tile 384] [--halo 32] [--dsm scene_dsm.tif]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("SATMVS_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["SATMVS_PLATFORM"])
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--images", nargs="+", required=True)
+    p.add_argument("--rpcs", nargs="+", required=True)
+    p.add_argument("--loadckpt", required=True)
+    p.add_argument("--out", required=True, help="output height PFM path")
+    p.add_argument("--model", default="red", choices=["red", "casmvs", "ucs"])
+    p.add_argument("--ndepths", default="64,32,8")
+    p.add_argument("--min_interval", type=float, default=2.5)
+    p.add_argument("--ref_index", type=int, default=0)
+    p.add_argument("--tile", type=int, default=384)
+    p.add_argument("--halo", type=int, default=32)
+    p.add_argument("--dsm", default=None, help="also fuse all views to a DSM raster")
+    p.add_argument("--grid_res", type=float, default=5.0)
+    a = p.parse_args()
+    assert len(a.images) == len(a.rpcs)
+
+    import numpy as np
+    import jax
+
+    from satmvs_tpu.data import formats, synthetic  # noqa: F401
+    from satmvs_tpu.infer.scene import predict_scene
+    from satmvs_tpu.models import build_model
+    from satmvs_tpu.train.checkpoints import restore_checkpoint
+    from satmvs_tpu.train.config import Config
+    from satmvs_tpu.train.loop import create_model_and_state
+
+    images = np.stack([formats.read_image(pth)[..., 0] for pth in a.images])
+    rpcs = np.stack([formats.load_rpc(pth)[0] for pth in a.rpcs])
+
+    cfg = Config(model=a.model, geo_model="rpc",
+                 ndepths=tuple(int(x) for x in a.ndepths.split(",")),
+                 min_interval=a.min_interval, view_num=len(a.images))
+
+    # init the model on one tile shape to build the state template
+    from satmvs_tpu.data.loader import collate
+    from satmvs_tpu.data.preprocess import center_image
+    from satmvs_tpu.geo import rpc as rpclib
+    from satmvs_tpu.ops import warp as warplib
+    import jax.numpy as jnp
+
+    th = tw = a.tile + 2 * a.halo
+    v = len(a.images)
+    order = [a.ref_index] + [i for i in range(v) if i != a.ref_index]
+    dummy = {
+        "imgs": np.zeros((v, th, tw, 3), np.float32),
+        "cams": warplib.build_stage_cams(rpcs[order], 0, cfg.num_stage),
+        "depth_values": np.array(rpclib.height_range(rpcs[a.ref_index]), np.float32),
+        "out_view": "0", "out_name": "x",
+    }
+    batch = collate([dummy])
+    model, state, _ = create_model_and_state(cfg, batch, steps_per_epoch=1)
+    restored, ep = restore_checkpoint(a.loadckpt, state)
+    if restored is None:
+        raise SystemExit(f"no checkpoint at {a.loadckpt}")
+    print(f"loaded checkpoint epoch {ep}")
+    variables = {"params": restored.params, "batch_stats": restored.batch_stats}
+
+    @jax.jit
+    def forward(imgs, cams, dvals):
+        return model.apply(variables, imgs, cams, dvals, train=False)
+
+    t0 = time.time()
+    depth, conf = predict_scene(
+        forward, images, rpcs, tile=a.tile, halo=a.halo,
+        num_stage=cfg.num_stage, ref_index=a.ref_index,
+        progress=lambda i, n: print(f"tile {i}/{n}", end="\r"),
+    )
+    print(f"\nscene predicted in {time.time() - t0:.1f}s → {a.out}")
+    formats.save_pfm(a.out, depth.astype(np.float32))
+    formats.save_pfm(os.path.splitext(a.out)[0] + "_prob.pfm", conf.astype(np.float32))
+
+    if a.dsm:
+        # fuse: predict each view as reference, then geometric-consistency
+        from satmvs_tpu.infer.fuse import fuse_scene_to_dsm
+
+        depths = [depth]
+        for ref_i in [i for i in range(v) if i != a.ref_index]:
+            d_i, _ = predict_scene(
+                forward, images, rpcs, tile=a.tile, halo=a.halo,
+                num_stage=cfg.num_stage, ref_index=ref_i,
+            )
+            depths.append(d_i)
+        fuse_order = [a.ref_index] + [i for i in range(v) if i != a.ref_index]
+        path, mask, _ = fuse_scene_to_dsm(
+            np.stack(depths), rpcs[fuse_order], a.dsm, grid_res=a.grid_res, prob=conf,
+        )
+        print(f"DSM written: {path} (valid {mask.mean():.1%})")
+
+
+if __name__ == "__main__":
+    main()

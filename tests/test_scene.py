@@ -1,0 +1,71 @@
+"""Whole-scene tiled prediction tests: seam consistency and geometry of the
+per-tile RPC cropping."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from satmvs_tpu.data import synthetic
+from satmvs_tpu.geo import rpc as rpclib
+from satmvs_tpu.infer.scene import predict_scene
+from satmvs_tpu.models import CascadeREDNet
+from satmvs_tpu.ops import warp as warplib
+
+
+def test_crop_rpc_tile_geometry():
+    """A tile's cropped RPC must project scene points to tile-local pixels."""
+    rpc = synthetic.make_synthetic_rpc(128, 128, off_nadir_deg=22.0, seed=2)
+    cropped = rpclib.crop_rpc(rpc, start_w=32.0, start_h=48.0)
+    lat = rpc[rpclib.LAT_OFF] + 0.2 * rpc[rpclib.LAT_SCALE]
+    lon = rpc[rpclib.LON_OFF] - 0.1 * rpc[rpclib.LON_SCALE]
+    h = rpc[rpclib.HEI_OFF]
+    s0, l0 = rpclib.obj_to_photo(rpc, np.array([lat]), np.array([lon]), np.array([h]))
+    s1, l1 = rpclib.obj_to_photo(cropped, np.array([lat]), np.array([lon]), np.array([h]))
+    np.testing.assert_allclose(s1, s0 - 32.0, rtol=1e-10)
+    np.testing.assert_allclose(l1, l0 - 48.0, rtol=1e-10)
+
+
+def test_predict_scene_seamless():
+    """Tiled whole-scene prediction must agree with a single full-scene
+    forward away from image borders (same model, same weights)."""
+    size = 96
+    scene = synthetic.make_scene(size, size, seed=9, h_amp=50.0)
+    order = [2, 0, 1]
+    images = scene["images"][order]
+    rpcs = scene["rpcs"][order]
+
+    model = CascadeREDNet(geo_model="rpc", ndepths=(8, 4, 4))
+    # init on the tile shape (64x64 incl. halo)
+    from satmvs_tpu.data.preprocess import center_image
+
+    imgs0 = np.stack([center_image(np.repeat(im[..., None], 3, -1)) for im in images])[None]
+    cams0 = tuple(
+        warplib.stack_cams([c]) for c in warplib.build_stage_cams(rpcs, 0, 3)
+    )
+    h_min, h_max = rpclib.height_range(rpcs[0])
+    dvals = jnp.asarray([[h_min, h_max]], jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(imgs0), cams0, dvals, train=False)
+
+    def forward(imgs, cams, dv):
+        return model.apply(variables, imgs, cams, dv, train=False)
+
+    # full-scene single forward (96x96 fits)
+    full = forward(jnp.asarray(imgs0), cams0, dvals)
+    full_depth = np.asarray(full["depth"][0])
+
+    depth, conf = predict_scene(
+        forward, images, rpcs, tile=64, halo=32, num_stage=3, ref_index=0,
+    )
+    assert depth.shape == (size, size)
+    assert np.isfinite(depth).all()
+    assert conf.min() >= 0
+
+    # interior agreement: tiles see slightly different normalization +
+    # borders, so compare medians / correlation rather than exact equality
+    inner = np.s_[16:-16, 16:-16]
+    d_t = depth[inner]
+    d_f = full_depth[inner]
+    # both must land in the scene height range and correlate strongly
+    assert d_t.min() > h_min - 1 and d_t.max() < h_max + 1
+    cc = np.corrcoef(d_t.ravel(), d_f.ravel())[0, 1]
+    assert cc > 0.95, cc
