@@ -147,6 +147,9 @@ class CascadeModel(nn.Module):
     # running under a mesh context) XLA keeps volumes sharded over the named
     # axes and inserts conv halo exchanges — see dist/mesh.py.
     volume_partition: object = None
+    # Compute dtype of the 3-D regularization convs (e.g. jnp.bfloat16 for
+    # 2x MXU throughput on the FLOP-heavy CostRegNet; params stay fp32).
+    compute_dtype: object = None
     # Tap-stencil half-width of the fused inference sweep kernel; 8 is safe
     # for any plausible satellite geometry, 4 is ~1.5x faster and valid when
     # ops.pallas.sweep_gather.count_misses reports 0 for the scene's cameras.
@@ -171,7 +174,7 @@ class CascadeModel(nn.Module):
         def make_reg(i):
             if self.regularizer == "red":
                 return REDRegularizer(self.cr_base_chs[i])
-            return CostRegNet(self.cr_base_chs[i])
+            return CostRegNet(self.cr_base_chs[i], dtype=self.compute_dtype)
 
         if self.share_cr:
             shared = make_reg(0)

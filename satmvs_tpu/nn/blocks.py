@@ -41,6 +41,7 @@ class ConvBlock(nn.Module):
     relu: bool = True
     bn_momentum: float = 0.9  # flax momentum = 1 − torch momentum (torch 0.1)
     use_bias: bool | None = None  # default: bias iff no norm
+    dtype: object = None  # compute dtype (e.g. jnp.bfloat16); params stay fp32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -53,6 +54,7 @@ class ConvBlock(nn.Module):
             strides=(self.stride,) * self.dims,
             padding=[(p, p)] * self.dims,
             use_bias=bias,
+            dtype=self.dtype,
         )(x)
         if self.norm == "bn":
             x = nn.BatchNorm(
@@ -80,6 +82,7 @@ class DeconvBlock(nn.Module):
     relu: bool = True
     bn_momentum: float = 0.9
     use_bias: bool | None = None  # default: bias iff no norm
+    dtype: object = None  # compute dtype; params stay fp32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -98,6 +101,7 @@ class DeconvBlock(nn.Module):
             padding=pad,
             transpose_kernel=True,
             use_bias=bias,
+            dtype=self.dtype,
         )(x)
         if self.norm == "bn":
             x = nn.BatchNorm(
