@@ -2,6 +2,7 @@
 
 from .mesh import (  # noqa: F401
     batch_spec,
+    init_multihost,
     constrain,
     make_mesh,
     replicate,

@@ -23,6 +23,24 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_multihost(coordinator: Optional[str] = None, num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None) -> int:
+    """Initialize multi-host JAX (DCN) and return the global device count.
+
+    Thin wrapper over jax.distributed.initialize — on single-host runs it is
+    a no-op returning the local device count.  Mesh axes then span all hosts'
+    devices; XLA routes collectives over ICI within a slice and DCN across
+    hosts (SURVEY §2.2).  Untested on real multi-host here (1 chip available).
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return len(jax.devices())
+
+
 def make_mesh(data: int = 1, spatial: int = 1, devices=None) -> Mesh:
     devices = list(jax.devices()) if devices is None else list(devices)
     need = data * spatial

@@ -154,6 +154,11 @@ class CascadeModel(nn.Module):
     # for any plausible satellite geometry, 4 is ~1.5x faster and valid when
     # ops.pallas.sweep_gather.count_misses reports 0 for the scene's cameras.
     sweep_stencil: int = 8
+    # Rematerialize the regularizers during backprop (jax.checkpoint): trades
+    # recompute for activation memory — enables training larger tiles / depth
+    # counts (the memory-frugality analog of the reference's streaming trick,
+    # on the training side).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, imgs, cams, depth_values, train: bool = False):
@@ -207,7 +212,14 @@ class CascadeModel(nn.Module):
             )
             if self.volume_partition is not None:
                 volume = jax.lax.with_sharding_constraint(volume, self.volume_partition)
-            logits = regs[i](volume) if self.regularizer == "red" else regs[i](volume, train)
+            if self.remat:
+                # rematerialize through the regularizer (train stays static)
+                if self.regularizer == "red":
+                    logits = nn.remat(lambda mdl, v: mdl(v))(regs[i], volume)
+                else:
+                    logits = nn.remat(lambda mdl, v: mdl(v, train))(regs[i], volume)
+            else:
+                logits = regs[i](volume) if self.regularizer == "red" else regs[i](volume, train)
             prob = jax.nn.softmax(logits, axis=1)  # (B, D, h, w)
 
             # ---- regression + confidence

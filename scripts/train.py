@@ -27,6 +27,13 @@ if os.environ.get("SATMVS_PLATFORM"):
 
 
 def main() -> None:
+    # NaN debugging (SURVEY §5 "race/NaN detection"): fail fast on any NaN
+    # produced under jit when SATMVS_DEBUG_NANS=1
+    if os.environ.get("SATMVS_DEBUG_NANS") == "1":
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
+
     from satmvs_tpu.data.dataset import find_dataset
     from satmvs_tpu.data.loader import Loader
     from satmvs_tpu.train import Config, fit
