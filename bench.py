@@ -25,6 +25,10 @@ import time
 
 import numpy as np
 
+from satmvs_tpu import cache as _cache
+
+_cache.enable()  # persistent XLA/Mosaic compile cache (minutes → seconds)
+
 BASELINE_PROXY_VIEWS_PER_S = 20.0
 
 # stage-1 production geometry for a 384x768 patch

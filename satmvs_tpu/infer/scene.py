@@ -9,8 +9,13 @@ overlapping tiles (infer/tiling.py), shifts each view's RPC to the tile crop
 jitted per-tile forward (one compile: all tiles share a shape), and stitches
 interiors into seamless scene-sized height/confidence maps.
 
-Tiles are embarrassingly parallel: shard the tile list across
-hosts/processes for pod-scale scenes (the `tile` axis of SURVEY §2.2).
+Tiles are embarrassingly parallel — `batch_tiles`/`mesh` run N tiles per
+forward as ONE SPMD program with the tile batch sharded over the mesh's
+`data` axis, so a whole scene rides every chip of a slice at once (the
+`tile` axis of SURVEY §2.2).  Seamlessness comes from the redundant-halo
+design: each chip predicts its tile plus `halo` context and only the
+interior is kept, so no inter-chip feature communication is needed at all —
+the TPU-native alternative to stitching seams with explicit halo exchange.
 """
 
 from __future__ import annotations
@@ -35,6 +40,8 @@ def predict_scene(
     ref_index: int = 0,
     depth_range: Optional[tuple[float, float]] = None,
     progress: Optional[Callable[[int, int], None]] = None,
+    batch_tiles: int = 1,
+    mesh=None,
 ):
     """Predict a full scene's reference-view height map by tiling.
 
@@ -47,9 +54,16 @@ def predict_scene(
       rpcs: (V, 170) float64 scene RPCs.
       tile/halo: interior tile size and overlap (multiples of 32).
       depth_range: (h_min, h_max); default from the reference RPC.
+      batch_tiles: tiles per forward call (the tile-parallel batch).  With a
+        `mesh`, the batch is sharded over the mesh's `data` axis so each chip
+        predicts its own tile — set batch_tiles = data-axis size (or a
+        multiple).  Without a mesh it is plain on-chip batching.
+      mesh: optional jax.sharding.Mesh with a `data` axis for multi-chip
+        tile parallelism.
 
     Returns (depth (H, W) float32, confidence (H, W) float32).
     """
+    import jax
     import jax.numpy as jnp
 
     images = np.asarray(images, np.float32)
@@ -65,29 +79,65 @@ def predict_scene(
     dvals = jnp.asarray([[h_min, h_max]], jnp.float32)
 
     tiles = tiling.plan_tiles(scene_h, scene_w, tile=tile, halo=halo, multiple=32)
-    # one compile: group tiles by shape
-    depth_outs: list[np.ndarray] = []
-    conf_outs: list[np.ndarray] = []
-    for idx, t in enumerate(tiles):
+    order = [ref_index] + [i for i in range(v) if i != ref_index]
+
+    def tile_inputs(t: tiling.Tile):
         imgs_t = np.stack(
             [center_image(tiling.extract(images[view], t)) for view in range(v)]
-        )[None]
+        )
         # shift every view's RPC to the tile crop of the *reference* image;
         # source images are cropped at the same scene window, so their RPCs
         # shift identically (all views share the scene pixel grid here)
         rpcs_t = np.stack(
             [rpclib.crop_rpc(r, start_w=t.col0, start_h=t.row0) for r in rpcs]
         )
-        order = [ref_index] + [i for i in range(v) if i != ref_index]
-        cams = tuple(
-            warplib.stack_cams([c])
-            for c in warplib.build_stage_cams(rpcs_t[order], 0, num_stage)
-        )
-        out = forward(jnp.asarray(imgs_t[:, order]), cams, dvals)
-        depth_outs.append(np.asarray(out["depth"][0], np.float32))
-        conf_outs.append(np.asarray(out["photometric_confidence"][0], np.float32))
-        if progress:
-            progress(idx + 1, len(tiles))
+        return imgs_t[order], warplib.build_stage_cams(rpcs_t[order], 0, num_stage)
+
+    place = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        # sharded batch dims must divide the data axis — round up (the pad
+        # tiles are repeats whose outputs are dropped)
+        dsz = mesh.shape["data"]
+        batch_tiles = -(-batch_tiles // dsz) * dsz
+        sh = NamedSharding(mesh, P("data"))
+        place = lambda x: jax.device_put(x, sh)
+
+    # one compile per tile shape x batch size: group same-shape tiles, run
+    # `batch_tiles` of them per forward (the tile-parallel batch; the last
+    # chunk of a group is padded by repeating its final tile)
+    groups: dict[tuple[int, int], list[int]] = {}
+    for idx, t in enumerate(tiles):
+        groups.setdefault((t.height, t.width), []).append(idx)
+
+    depth_outs: list[np.ndarray] = [None] * len(tiles)
+    conf_outs: list[np.ndarray] = [None] * len(tiles)
+    done = 0
+    for members in groups.values():
+        for i0 in range(0, len(members), batch_tiles):
+            chunk = members[i0 : i0 + batch_tiles]
+            padded = chunk + [chunk[-1]] * (batch_tiles - len(chunk))
+            ins = [tile_inputs(tiles[k]) for k in padded]
+            imgs_b = jnp.asarray(np.stack([im for im, _ in ins]))
+            cams_b = tuple(
+                warplib.stack_cams([c[s] for _, c in ins])
+                for s in range(num_stage)
+            )
+            dvals_b = jnp.tile(dvals, (len(padded), 1))
+            if place is not None:
+                imgs_b, cams_b, dvals_b = jax.tree.map(
+                    place, (imgs_b, cams_b, dvals_b)
+                )
+            out = forward(imgs_b, cams_b, dvals_b)
+            for j, k in enumerate(chunk):
+                depth_outs[k] = np.asarray(out["depth"][j], np.float32)
+                conf_outs[k] = np.asarray(
+                    out["photometric_confidence"][j], np.float32
+                )
+            done += len(chunk)
+            if progress:
+                progress(done, len(tiles))
 
     depth = tiling.stitch(tiles, depth_outs, scene_h, scene_w)
     conf = tiling.stitch(tiles, conf_outs, scene_h, scene_w)

@@ -212,14 +212,25 @@ class CascadeModel(nn.Module):
             )
             if self.volume_partition is not None:
                 volume = jax.lax.with_sharding_constraint(volume, self.volume_partition)
+            # inference on TPU: fused single-kernel GRU recurrence (no VJP);
+            # SATMVS_FUSED_RED=0 falls back to the XLA scan
+            import os
+
+            fused_red = (
+                not train
+                and jax.default_backend() == "tpu"
+                and os.environ.get("SATMVS_FUSED_RED", "1") != "0"
+            )
             if self.remat:
                 # rematerialize through the regularizer (train stays static)
                 if self.regularizer == "red":
                     logits = nn.remat(lambda mdl, v: mdl(v))(regs[i], volume)
                 else:
                     logits = nn.remat(lambda mdl, v: mdl(v, train))(regs[i], volume)
+            elif self.regularizer == "red":
+                logits = regs[i](volume, fused_red)
             else:
-                logits = regs[i](volume) if self.regularizer == "red" else regs[i](volume, train)
+                logits = regs[i](volume, train)
             prob = jax.nn.softmax(logits, axis=1)  # (B, D, h, w)
 
             # ---- regression + confidence

@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -121,28 +122,81 @@ class ConvGRUCell(nn.Module):
     Counterpart of ConvGRUCell2 (/root/reference/modules/module.py:6-58):
       r, u = σ(GN(conv([x, h])));  y = tanh(GN(conv([x, r·h])))
       out  = u·h + (1 − u)·y       (returned as both output and new state)
+
+    TPU re-design: each concat-conv splits exactly by linearity into an
+    x-half and an h-half — conv([x,h]) = conv_x(x) + conv_h(h) + bias.  The
+    x-halves carry no recurrent state, so callers scanning the cell over a
+    sequence (the RED depth scan) can precompute them for ALL steps in one
+    large batched conv via `x_contrib`, leaving only the halved-FLOP h-convs
+    inside the sequential scan (`recur`).  `Conv_x` packs the gates-x and
+    candidate-x kernels into one 3·C-channel conv; biases live on the h-side
+    convs so the sum is exactly the reference's concat-conv.
     """
 
     features: int
     kernel_size: int = 3
 
-    @nn.compact
-    def __call__(self, x, h):
+    def setup(self):
+        k = (self.kernel_size,) * 2
         p = _pad(self.kernel_size)
-        gates = nn.Conv(
-            self.features * 2,
-            (self.kernel_size,) * 2,
-            padding=[(p, p)] * 2,
-        )(jnp.concatenate([x, h], axis=-1))
+        pad = [(p, p)] * 2
+        self.x_conv = nn.Conv(self.features * 3, k, padding=pad,
+                              use_bias=False, name="Conv_x")
+        self.gates_h_conv = nn.Conv(self.features * 2, k, padding=pad,
+                                    use_bias=True, name="Conv_h")
+        self.cand_h_conv = nn.Conv(self.features, k, padding=pad,
+                                   use_bias=True, name="Conv_c")
+        self.gn_r = nn.GroupNorm(num_groups=1, epsilon=1e-5, name="GroupNorm_0")
+        self.gn_u = nn.GroupNorm(num_groups=1, epsilon=1e-5, name="GroupNorm_1")
+        self.gn_y = nn.GroupNorm(num_groups=1, epsilon=1e-5, name="GroupNorm_2")
+
+    def x_contrib(self, x):
+        """Recurrence-independent input contribution: (..., 3·features) =
+        [gates-x (2C) | candidate-x (C)]."""
+        return self.x_conv(x)
+
+    def recur(self, xc, h):
+        """One recurrent step given the precomputed input contribution."""
+        c = self.features
+        gates = xc[..., : 2 * c] + self.gates_h_conv(h)
         r, u = jnp.split(gates, 2, axis=-1)
-        r = nn.sigmoid(nn.GroupNorm(num_groups=1, epsilon=1e-5)(r))
-        u = nn.sigmoid(nn.GroupNorm(num_groups=1, epsilon=1e-5)(u))
-        y = nn.Conv(
-            self.features,
-            (self.kernel_size,) * 2,
-            padding=[(p, p)] * 2,
-        )(jnp.concatenate([x, r * h], axis=-1))
-        y = jnp.tanh(nn.GroupNorm(num_groups=1, epsilon=1e-5)(y))
+        r = nn.sigmoid(self.gn_r(r))
+        u = nn.sigmoid(self.gn_u(u))
+        y = xc[..., 2 * c :] + self.cand_h_conv(r * h)
+        y = jnp.tanh(self.gn_y(y))
+        out = u * h + (1.0 - u) * y
+        return out, out
+
+    def __call__(self, x, h):
+        """Concat-conv form: ONE conv per gate on concat([x, h]), built by
+        concatenating the split kernels along input channels at trace time
+        (loop-invariant, so XLA hoists the concat out of a depth scan).
+        Mathematically identical to recur(x_contrib(x), h), but 2 convs per
+        step instead of 3 — wins in the latency-bound RED depth scan where
+        the sequential op count, not FLOPs, sets the clock (measured: 98 ms
+        vs 108 ms full forward)."""
+        if self.is_initializing():
+            return self.recur(self.x_contrib(x), h)
+        c = self.features
+        p = self.variables["params"]
+        wx = p["Conv_x"]["kernel"]
+        pd = _pad(self.kernel_size)
+
+        def conv(inp, kern):
+            return jax.lax.conv_general_dilated(
+                inp, kern.astype(inp.dtype), (1, 1), [(pd, pd)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        xh = jnp.concatenate([x, h], axis=-1)
+        wg = jnp.concatenate([wx[..., : 2 * c], p["Conv_h"]["kernel"]], axis=2)
+        gates = conv(xh, wg) + p["Conv_h"]["bias"]
+        r, u = jnp.split(gates, 2, axis=-1)
+        r = nn.sigmoid(self.gn_r(r))
+        u = nn.sigmoid(self.gn_u(u))
+        wc = jnp.concatenate([wx[..., 2 * c :], p["Conv_c"]["kernel"]], axis=2)
+        y = conv(jnp.concatenate([x, r * h], axis=-1), wc) + p["Conv_c"]["bias"]
+        y = jnp.tanh(self.gn_y(y))
         out = u * h + (1.0 - u) * y
         return out, out
 

@@ -100,12 +100,27 @@ def _deconv_block(sd, prefix) -> Tuple[dict, dict]:
 
 
 def _gru(sd, prefix) -> dict:
-    """ConvGRUCell2 → ConvGRUCell (module.py:6-58)."""
+    """ConvGRUCell2 → ConvGRUCell (module.py:6-58).
+
+    Our cell splits each concat-conv by linearity into x/h halves so the
+    x-half hoists out of the RED depth scan: the torch gate_conv /
+    output_conv kernels (input channels = [x | h]) are sliced along the
+    input-channel axis; the x-slices pack into one 3C-output `Conv_x`
+    ([gates-x | cand-x]); biases go to the h-side convs.  Exact:
+    conv([x,h]) = conv_x(x) + conv_h(h) + b.
+    """
+    wg = _t_conv(sd[prefix + ".gate_conv.weight"])      # (kh, kw, Cx+Ch, 2Ch)
+    wc = _t_conv(sd[prefix + ".output_conv.weight"])    # (kh, kw, Cx+Ch, Ch)
+    ch = wc.shape[-1]
+    cx = wg.shape[2] - ch
     return {
-        "Conv_0": _conv(sd, prefix + ".gate_conv"),
+        "Conv_x": {"kernel": np.concatenate([wg[:, :, :cx], wc[:, :, :cx]], axis=-1)},
+        "Conv_h": {"kernel": wg[:, :, cx:],
+                   "bias": np.asarray(sd[prefix + ".gate_conv.bias"])},
+        "Conv_c": {"kernel": wc[:, :, cx:],
+                   "bias": np.asarray(sd[prefix + ".output_conv.bias"])},
         "GroupNorm_0": _norm(sd, prefix + ".reset_gate_norm"),
         "GroupNorm_1": _norm(sd, prefix + ".update_gate_norm"),
-        "Conv_1": _conv(sd, prefix + ".output_conv"),
         "GroupNorm_2": _norm(sd, prefix + ".output_norm"),
     }
 

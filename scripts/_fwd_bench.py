@@ -1,0 +1,4 @@
+import sys
+sys.path.insert(0, "/root/repo")
+import bench
+bench.bench_model_forward()

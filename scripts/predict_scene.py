@@ -42,6 +42,9 @@ def main() -> None:
     p.add_argument("--halo", type=int, default=32)
     p.add_argument("--dsm", default=None, help="also fuse all views to a DSM raster")
     p.add_argument("--grid_res", type=float, default=5.0)
+    p.add_argument("--batch_tiles", type=int, default=0,
+                   help="tiles per forward (0 = one per device; batch is "
+                        "sharded across all devices' data axis)")
     a = p.parse_args()
     assert len(a.images) == len(a.rpcs)
 
@@ -90,10 +93,18 @@ def main() -> None:
     def forward(imgs, cams, dvals):
         return model.apply(variables, imgs, cams, dvals, train=False)
 
+    # tile-parallel: one tile per device by default (mesh over all devices)
+    from satmvs_tpu.dist.mesh import make_mesh
+
+    n_dev = len(jax.devices())
+    batch_tiles = a.batch_tiles or n_dev
+    mesh = make_mesh(data=n_dev) if n_dev > 1 else None
+
     t0 = time.time()
     depth, conf = predict_scene(
         forward, images, rpcs, tile=a.tile, halo=a.halo,
         num_stage=cfg.num_stage, ref_index=a.ref_index,
+        batch_tiles=batch_tiles, mesh=mesh,
         progress=lambda i, n: print(f"tile {i}/{n}", end="\r"),
     )
     print(f"\nscene predicted in {time.time() - t0:.1f}s → {a.out}")
@@ -109,6 +120,7 @@ def main() -> None:
             d_i, _ = predict_scene(
                 forward, images, rpcs, tile=a.tile, halo=a.halo,
                 num_stage=cfg.num_stage, ref_index=ref_i,
+                batch_tiles=batch_tiles, mesh=mesh,
             )
             depths.append(d_i)
         fuse_order = [a.ref_index] + [i for i in range(v) if i != a.ref_index]

@@ -18,3 +18,7 @@ os.environ["XLA_FLAGS"] = (
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+from satmvs_tpu import cache as _cache  # noqa: E402
+
+_cache.enable()  # persistent compile cache (reruns of the suite skip compiles)

@@ -82,3 +82,37 @@ def test_sweep_gather_zero_padding_borders():
     out = sg.sweep_gather(src, xs, ys, interpret=True)
     ref = bilinear_sample(src, xs[0], ys[0])
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref), atol=1e-6)
+
+
+def test_red_recur_kernel_matches_xla_scan():
+    """Fused per-scale GRU depth recurrence (ops/pallas/red_recur.py) vs
+    scanning nn/blocks.ConvGRUCell.recur — same math, one kernel."""
+    from satmvs_tpu.nn.blocks import ConvGRUCell
+    from satmvs_tpu.ops.pallas.red_recur import cell_params_matrices, red_recur
+
+    rng = np.random.default_rng(3)
+    for c, d, h, w in ((8, 5, 16, 24), (16, 3, 8, 16)):
+        cell = ConvGRUCell(c)
+        params = cell.init(
+            jax.random.PRNGKey(c),
+            jnp.zeros((1, h, w, c)), jnp.zeros((1, h, w, c)),
+        )["params"]
+        # random (non-degenerate) GN affine + biases
+        params = jax.tree.map(
+            lambda p: jnp.asarray(rng.normal(0.1, 0.5, p.shape).astype(np.float32)),
+            params,
+        )
+        xc = jnp.asarray(rng.normal(size=(d, h, w, 3 * c)).astype(np.float32))
+
+        hs = jnp.zeros((1, h, w, c))
+        want = []
+        for i in range(d):
+            out, hs = cell.apply(
+                {"params": params}, xc[i][None], hs, method=ConvGRUCell.recur
+            )
+            want.append(np.asarray(out[0]))
+        got = red_recur(xc, *cell_params_matrices(params), interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.stack(want), atol=2e-5,
+            err_msg=f"c={c}",
+        )

@@ -69,3 +69,15 @@ def test_predict_scene_seamless():
     assert d_t.min() > h_min - 1 and d_t.max() < h_max + 1
     cc = np.corrcoef(d_t.ravel(), d_f.ravel())[0, 1]
     assert cc > 0.95, cc
+
+    # ---- tile-parallel: 4 tiles per forward, batch sharded over a 4-chip
+    # mesh's data axis, must reproduce the serial tile loop
+    from satmvs_tpu.dist.mesh import make_mesh
+
+    mesh = make_mesh(data=4)
+    depth_p, conf_p = predict_scene(
+        forward, images, rpcs, tile=64, halo=32, num_stage=3, ref_index=0,
+        batch_tiles=4, mesh=mesh,
+    )
+    np.testing.assert_allclose(depth_p, depth, atol=1e-3, rtol=1e-5)
+    np.testing.assert_allclose(conf_p, conf, atol=1e-4)
