@@ -159,12 +159,52 @@ def bench_model_forward() -> float:
     return 1.0 / dt
 
 
+def bench_train_step() -> float:
+    """Full jitted train step (loss+grads+RMSprop) images/s at the patch."""
+    import jax
+    import jax.numpy as jnp
+
+    from satmvs_tpu.data import synthetic
+    from satmvs_tpu.train.config import Config
+    from satmvs_tpu.train.loop import (
+        create_model_and_state, make_train_step, numeric_batch,
+    )
+
+    cfg = Config(model="red", geo_model="rpc", ndepths=(64, 32, 8))
+    batch = numeric_batch(
+        synthetic.make_batch(batch_size=1, width=PATCH_W, height=PATCH_H, seed=0)
+    )
+    model, state, tx = create_model_and_state(cfg, batch, steps_per_epoch=100)
+    train_step = make_train_step(model, tx, tuple(cfg.dlossw))
+
+    imgs = batch["imgs"]
+
+    def step(c):
+        b = dict(batch, imgs=imgs + c * 1e-12)
+        new_state, scalars = train_step(state, b)
+        # fold an updated-params leaf into the carry so the backward pass and
+        # optimizer update are NOT dead code (loss alone needs only forward)
+        import jax
+
+        leaf = jax.tree.leaves(new_state.params)[0]
+        return scalars["loss"] + leaf.ravel()[0] * 1e-20
+
+    dt = _time_fn(step, iters=3)
+    print(f"[bench] red_train_384x768: {dt * 1e3:.1f} ms/step, {1 / dt:.2f} images/s",
+          file=sys.stderr)
+    return 1.0 / dt
+
+
 def main() -> None:
     views_per_s = bench_plane_sweep()
     try:
         bench_model_forward()
     except Exception as e:  # secondary bench must not sink the primary metric
         print(f"[bench] model forward bench failed: {e}", file=sys.stderr)
+    try:
+        bench_train_step()
+    except Exception as e:
+        print(f"[bench] train step bench failed: {e}", file=sys.stderr)
 
     print(
         json.dumps(

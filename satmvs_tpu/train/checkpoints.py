@@ -28,6 +28,28 @@ def save_checkpoint(directory: str, epoch: int, state: Any) -> None:
     mgr.close()
 
 
+class CheckpointKeeper:
+    """Async checkpointing for a training run (SURVEY §5 failure-recovery).
+
+    One CheckpointManager held for the run: `save` enqueues the write and
+    returns immediately (training overlaps the serialization — orbax async);
+    `close` drains pending writes.  Restore-side preemption tolerance is
+    `restore_checkpoint(epoch=None)` = latest committed step (a preempted
+    half-written save is never committed by orbax, so resume always sees a
+    consistent checkpoint).
+    """
+
+    def __init__(self, directory: str):
+        self._mgr = _manager(directory)
+
+    def save(self, epoch: int, state: Any) -> None:
+        self._mgr.save(epoch, args=ocp.args.StandardSave(state))
+
+    def close(self) -> None:
+        self._mgr.wait_until_finished()
+        self._mgr.close()
+
+
 def latest_epoch(directory: str) -> Optional[int]:
     if not os.path.isdir(directory):
         return None

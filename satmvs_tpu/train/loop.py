@@ -159,6 +159,7 @@ def fit(cfg: Config, train_loader, test_loader, workdir: str,
     train_step = make_train_step(model, tx, tuple(cfg.dlossw))
     eval_step = make_eval_step(model, tuple(cfg.dlossw), cfg.min_interval)
     logger = MetricLogger(workdir)
+    keeper = ckpt_lib.CheckpointKeeper(workdir)  # async epoch saves
 
     for epoch in range(start_epoch, cfg.epochs + 1):
         for it, batch in enumerate(train_loader):
@@ -175,9 +176,26 @@ def fit(cfg: Config, train_loader, test_loader, workdir: str,
                     )
 
         meter = metrics_lib.DictAverageMeter()
+        logged_images = False
         for batch in test_loader:
-            scalars, _, _ = eval_step(state, numeric_batch(batch))
+            nb = numeric_batch(batch)
+            scalars, depth_est, _conf = eval_step(state, nb)
             meter.update({k: float(v) for k, v in scalars.items()})
+            if not logged_images:
+                # reference logs depth_est/gt, ref img, mask, errormap
+                # (train.py:290-295) — once per test pass, first sample
+                import numpy as np
+
+                step_i = epoch * steps_per_epoch
+                de = np.asarray(depth_est[0])
+                gt = np.asarray(nb["depth_stages"][-1][0])
+                mk = np.asarray(nb["mask_stages"][-1][0]) > 0.5
+                logger.image("fulltest", "depth_est", de, step_i)
+                logger.image("fulltest", "depth_gt", gt, step_i)
+                logger.image("fulltest", "ref_img", np.asarray(nb["imgs"][0, 0]).transpose(2, 0, 1), step_i)
+                logger.image("fulltest", "mask", mk.astype(np.float32), step_i)
+                logger.image("fulltest", "errormap", np.abs(de - gt) * mk, step_i)
+                logged_images = True
         means = meter.mean()
         logger.scalars("fulltest", means, epoch * steps_per_epoch)
         if log_fn:
@@ -186,7 +204,8 @@ def fit(cfg: Config, train_loader, test_loader, workdir: str,
             f.write(f"{epoch} {means}\n")
 
         if epoch % cfg.save_freq == 0:
-            ckpt_lib.save_checkpoint(workdir, epoch, state)
+            keeper.save(epoch, state)
 
+    keeper.close()
     logger.close()
     return model, state
