@@ -50,6 +50,79 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+class _TileGeom:
+    """Per-tile window geometry shared by the gather kernel and its exact
+    transpose (the scatter kernel) — one implementation so forward taps and
+    backward taps can never drift apart."""
+
+    def __init__(self, x, y, tile_row0, *, kv, ks, height, width):
+        bh = BLOCK_ROWS
+        x0f = jnp.floor(x)
+        y0f = jnp.floor(y)
+        self.fx = x - x0f
+        self.fy = y - y0f
+        x0 = x0f.astype(jnp.int32)
+        y0 = y0f.astype(jnp.int32)
+
+        jj = jax.lax.broadcasted_iota(jnp.int32, (bh, width), 1)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (bh, width), 0)
+
+        rel_x = x0 - jj                      # horizontal offset field
+        rel_y = y0 - (ii + tile_row0)        # vertical offset field
+
+        # per-tile integer bases (ignore far-out-of-image samples when
+        # choosing the base so border tiles still cover their valid points)
+        big = jnp.int32(10**9)
+        valid_any = (x0 >= -1) & (x0 <= width - 1) & (y0 >= -1) & (y0 <= height - 1)
+        col_base = jnp.min(jnp.where(valid_any, rel_x, big))
+        row_base = jnp.min(jnp.where(valid_any, rel_y, big))
+        col_base = jnp.where(col_base == big, 0, col_base)
+        row_base = jnp.where(row_base == big, 0, row_base)
+
+        # window placement in the padded (H, C, W) source: row offset is
+        # free (untiled leading dim); column offset must be 128-aligned with
+        # the residual rolled out of the patch.
+        self.kh = bh + kv
+        wp = width + ks
+        self.wpp = _round_up(wp + 128, 128)
+        h_tot = height + 2 * VPAD
+        w_tot = width + 2 * PAD
+        self.row_start = jnp.clip(tile_row0 + row_base + VPAD, 0, h_tot - self.kh)
+        col_start = jnp.clip(col_base + PAD, 0, w_tot - wp)
+        self.col_start128 = pl.multiple_of(
+            jnp.clip((col_start // 128) * 128, 0, w_tot - self.wpp), 128
+        )
+        self.rc = col_start - self.col_start128        # ∈ [0, 128]
+
+        # effective bases after clamping (clamps only matter when the needed
+        # window exceeds the image/pad range, where weights are 0 anyway)
+        row_base_eff = self.row_start - VPAD - tile_row0
+        col_base_eff = col_start - PAD
+
+        self.dv_idx = rel_y - row_base_eff   # top-left corner tap ∈ [0, kv)
+        self.ds_idx = rel_x - col_base_eff   # when covered
+
+        # per-corner image-bounds validity (zeros-padding semantics)
+        self.vx0 = (x0 >= 0) & (x0 <= width - 1)
+        self.vx1 = (x0 + 1 >= 0) & (x0 + 1 <= width - 1)
+        self.vy0 = (y0 >= 0) & (y0 <= height - 1)
+        self.vy1 = (y0 + 1 >= 0) & (y0 + 1 <= height - 1)
+
+    def wv(self, dv):
+        """Vertical hat weight of tap row dv: corner y0 at tap dv → (1−fy);
+        corner y0+1 at dv → fy."""
+        return (
+            jnp.where((self.dv_idx == dv) & self.vy0, 1.0 - self.fy, 0.0)
+            + jnp.where((self.dv_idx + 1 == dv) & self.vy1, self.fy, 0.0)
+        ).astype(jnp.float32)
+
+    def wh(self, ds):
+        return (
+            jnp.where((self.ds_idx == ds) & self.vx0, 1.0 - self.fx, 0.0)
+            + jnp.where((self.ds_idx + 1 == ds) & self.vx1, self.fx, 0.0)
+        ).astype(jnp.float32)
+
+
 def _sweep_gather_kernel(
     x_ref, y_ref, src_hbm, out_ref, patch_ref, sem,
     *, kv: int, ks: int, height: int, width: int, channels: int,
@@ -58,67 +131,16 @@ def _sweep_gather_kernel(
     t = pl.program_id(1)
     tile_row0 = t * bh
 
-    x = x_ref[0]            # (BH, W) float32 sample columns
-    y = y_ref[0]            # (BH, W) float32 sample rows
-    x0f = jnp.floor(x)
-    y0f = jnp.floor(y)
-    fx = x - x0f
-    fy = y - y0f
-    x0 = x0f.astype(jnp.int32)
-    y0 = y0f.astype(jnp.int32)
-
-    jj = jax.lax.broadcasted_iota(jnp.int32, (bh, width), 1)
-    ii = jax.lax.broadcasted_iota(jnp.int32, (bh, width), 0)
-
-    rel_x = x0 - jj                      # horizontal offset field
-    rel_y = y0 - (ii + tile_row0)        # vertical offset field
-
-    # per-tile integer bases (ignore far-out-of-image samples when choosing
-    # the base so border tiles still cover their valid points)
-    big = jnp.int32(10**9)
-    valid_any = (x0 >= -1) & (x0 <= width - 1) & (y0 >= -1) & (y0 <= height - 1)
-    col_base = jnp.min(jnp.where(valid_any, rel_x, big))
-    row_base = jnp.min(jnp.where(valid_any, rel_y, big))
-    col_base = jnp.where(col_base == big, 0, col_base)
-    row_base = jnp.where(row_base == big, 0, row_base)
-
-    # window placement in the padded (H, C, W) source: row offset is free
-    # (untiled leading dim); column offset must be 128-aligned with the
-    # residual rolled out of the patch.
-    kh = bh + kv
-    wp = width + ks
-    wpp = _round_up(wp + 128, 128)
-    h_tot = height + 2 * VPAD
-    w_tot = width + 2 * PAD
-    row_start = jnp.clip(tile_row0 + row_base + VPAD, 0, h_tot - kh)
-    col_start = jnp.clip(col_base + PAD, 0, w_tot - wp)
-    col_start128 = pl.multiple_of(
-        jnp.clip((col_start // 128) * 128, 0, w_tot - wpp), 128
-    )
-    rc = col_start - col_start128        # ∈ [0, 128]
+    geom = _TileGeom(x_ref[0], y_ref[0], tile_row0,
+                     kv=kv, ks=ks, height=height, width=width)
+    kh, wpp, rc = geom.kh, geom.wpp, geom.rc
 
     dma = pltpu.make_async_copy(
-        src_hbm.at[pl.ds(row_start, kh), :, pl.ds(col_start128, wpp)],
+        src_hbm.at[pl.ds(geom.row_start, kh), :, pl.ds(geom.col_start128, wpp)],
         patch_ref,
         sem,
     )
     dma.start()
-
-    # effective bases after clamping (clamps only matter when the needed
-    # window exceeds the image/pad range, where weights are 0 anyway)
-    row_base_eff = row_start - VPAD - tile_row0
-    col_base_eff = col_start - PAD
-
-    dv_idx = rel_y - row_base_eff        # top-left corner tap ∈ [0, kv)
-    ds_idx = rel_x - col_base_eff        # when covered
-
-    # per-corner image-bounds validity (zeros-padding semantics)
-    vx0 = (x0 >= 0) & (x0 <= width - 1)
-    vx1 = (x0 + 1 >= 0) & (x0 + 1 <= width - 1)
-    vy0 = (y0 >= 0) & (y0 <= height - 1)
-    vy1 = (y0 + 1 >= 0) & (y0 + 1 <= height - 1)
-
-    f32 = jnp.float32
     dma.wait()
 
     patch = patch_ref[:]                              # (kh, C, wpp)
@@ -128,17 +150,9 @@ def _sweep_gather_kernel(
 
     acc = jnp.zeros((bh, channels, width), jnp.float32)
     for dv in range(kv + 1):
-        # vertical hat: corner y0 at tap dv → (1−fy); corner y0+1 at dv → fy
-        wv = (
-            jnp.where((dv_idx == dv) & vy0, 1.0 - fy, 0.0)
-            + jnp.where((dv_idx + 1 == dv) & vy1, fy, 0.0)
-        ).astype(f32)
+        wv = geom.wv(dv)
         for ds in range(ks + 1):
-            wh = (
-                jnp.where((ds_idx == ds) & vx0, 1.0 - fx, 0.0)
-                + jnp.where((ds_idx + 1 == ds) & vx1, fx, 0.0)
-            ).astype(f32)
-            w = wv * wh                               # (BH, W)
+            w = wv * geom.wh(ds)                      # (BH, W)
             cols = patch[dv : dv + bh, :, ds : ds + width]
             acc = acc + w[:, None, :] * cols
     out_ref[0] = acc
@@ -189,6 +203,102 @@ def _sweep_gather_impl(src: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
     return jnp.swapaxes(out, 2, 3)                          # (D, H, W, C)
 
 
+def _sweep_scatter_kernel(
+    x_ref, y_ref, g_ref, out_ref, win_ref,
+    *, kv: int, ks: int, height: int, width: int, channels: int,
+):
+    """Exact transpose of `_sweep_gather_kernel`: accumulate tap-weighted
+    cotangents into the padded source-cotangent buffer.
+
+    The padded (H+2·VPAD, C, W+2·PAD) accumulator IS the kernel output — its
+    BlockSpec index is constant, so Pallas keeps it resident in VMEM across
+    every (plane, tile) grid step (output revisiting) and writes it to HBM
+    once at the end: a scatter-add with zero HBM round-trips, instead of
+    XLA's serialized scatter (measured 97-141 ms per corner-scatter at the
+    384x768 stage).  Grid steps are sequential on a TPU core, so the
+    read-modify-write accumulation is race-free.
+    """
+    bh = BLOCK_ROWS
+    d = pl.program_id(0)
+    t = pl.program_id(1)
+    tile_row0 = t * bh
+
+    @pl.when((d == 0) & (t == 0))
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    geom = _TileGeom(x_ref[0], y_ref[0], tile_row0,
+                     kv=kv, ks=ks, height=height, width=width)
+    kh, wpp, rc = geom.kh, geom.wpp, geom.rc
+
+    g = g_ref[0]                                      # (BH, C, W)
+
+    # stage the tile's tap contributions in window coordinates
+    win_ref[...] = jnp.zeros_like(win_ref)
+    for dv in range(kv + 1):
+        wv = geom.wv(dv)
+        for ds in range(ks + 1):
+            w = wv * geom.wh(ds)                      # (BH, W)
+            win_ref[dv : dv + bh, :, ds : ds + width] = (
+                win_ref[dv : dv + bh, :, ds : ds + width] + w[:, None, :] * g
+            )
+
+    # forward read the window left-rolled by rc; the transpose rolls the
+    # contribution right by rc before adding at the 128-aligned base
+    win = pltpu.roll(win_ref[:], rc, 2)
+    cur = out_ref[pl.ds(geom.row_start, kh), :, pl.ds(geom.col_start128, wpp)]
+    out_ref[pl.ds(geom.row_start, kh), :, pl.ds(geom.col_start128, wpp)] = cur + win
+
+
+def _sweep_scatter_impl(g: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
+                        height: int, width: int,
+                        kv: int = 8, ks: int = 8, interpret: bool = False):
+    """Pallas transpose of `_sweep_gather_impl`: cotangents g (D, H, W, C) →
+    source cotangent (H, W, C).  Same smooth-warp contract as the forward."""
+    d, _, _, c = g.shape
+    assert height % BLOCK_ROWS == 0
+
+    g_hcw = jnp.swapaxes(g, 2, 3)                      # (D, H, C, W)
+    n_tiles = height // BLOCK_ROWS
+    h_tot = height + 2 * VPAD
+    w_tot = width + 2 * PAD
+    wpp = _round_up(width + ks + 128, 128)
+
+    kernel = functools.partial(
+        _sweep_scatter_kernel, kv=kv, ks=ks, height=height, width=width,
+        channels=c,
+    )
+    out_pad = pl.pallas_call(
+        kernel,
+        grid=(d, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, BLOCK_ROWS, width), lambda di, ti: (di, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_ROWS, width), lambda di, ti: (di, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_ROWS, c, width), lambda di, ti: (di, ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((h_tot, c, w_tot), lambda di, ti: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h_tot, c, w_tot), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((BLOCK_ROWS + kv, c, wpp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xs, ys, g_hcw)
+    dsrc = out_pad[VPAD : VPAD + height, :, PAD : PAD + width]
+    return jnp.swapaxes(dsrc, 1, 2)                    # (H, W, C)
+
+
+# accumulator + tile buffers must fit VMEM for the fused scatter backward
+_SCATTER_VMEM_CAP = 96 * 1024 * 1024
+
+
 def _bilinear_scatter(g: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
                       height: int, width: int) -> jnp.ndarray:
     """Transpose of bilinear sampling: scatter-add cotangents g (D, H, W, C)
@@ -236,8 +346,14 @@ def _sweep_gather_fwd(src, xs, ys, kv, ks, interpret):
 
 
 def _sweep_gather_bwd(kv, ks, interpret, residuals, g):
-    (h, w, _), xs, ys = residuals
-    dsrc = _bilinear_scatter(g, xs, ys, h, w)
+    (h, w, c), xs, ys = residuals
+    acc_bytes = (h + 2 * VPAD) * c * (w + 2 * PAD) * 4
+    if h % BLOCK_ROWS == 0 and acc_bytes <= _SCATTER_VMEM_CAP:
+        # fused Pallas transpose (same taps as the forward — exact adjoint
+        # of what the forward computed, misses included)
+        dsrc = _sweep_scatter_impl(g, xs, ys, h, w, kv, ks, interpret)
+    else:
+        dsrc = _bilinear_scatter(g, xs, ys, h, w)
     return dsrc, None, None
 
 

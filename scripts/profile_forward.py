@@ -67,6 +67,8 @@ def main() -> None:
     p.add_argument("--ndepths", default="64,32,8")
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--trace_dir", default=None)
+    p.add_argument("--train", action="store_true",
+                   help="profile the full train step (loss+grads+update)")
     a = p.parse_args()
 
     import jax
@@ -84,10 +86,27 @@ def main() -> None:
     imgs = jnp.asarray(batch["imgs"])
     dvals = jnp.asarray(batch["depth_values"])
 
-    @jax.jit
-    def fwd(c):
-        out = model.apply(variables, imgs + c * 1e-12, batch["cams"], dvals, train=False)
-        return out["depth"].ravel()[0]
+    if a.train:
+        from satmvs_tpu.train.config import Config
+        from satmvs_tpu.train.loop import create_model_and_state, make_train_step
+
+        cfg = Config(model=a.model, geo_model="rpc",
+                     ndepths=tuple(int(x) for x in a.ndepths.split(",")))
+        model, state, tx = create_model_and_state(cfg, batch, steps_per_epoch=100)
+        train_step = make_train_step(model, tx, tuple(cfg.dlossw))
+
+        @jax.jit
+        def fwd(c):
+            b = dict(batch, imgs=imgs + c * 1e-12)
+            new_state, scalars = train_step(state, b)
+            leaf = jax.tree.leaves(new_state.params)[0]
+            return scalars["loss"] + leaf.ravel()[0] * 1e-20
+    else:
+        @jax.jit
+        def fwd(c):
+            out = model.apply(variables, imgs + c * 1e-12, batch["cams"], dvals,
+                              train=False)
+            return out["depth"].ravel()[0]
 
     fwd(jnp.float32(0)).block_until_ready()
     trace_dir = a.trace_dir or tempfile.mkdtemp(prefix="satmvs_trace_")

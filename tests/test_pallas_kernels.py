@@ -84,6 +84,27 @@ def test_sweep_gather_zero_padding_borders():
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref), atol=1e-6)
 
 
+def test_sweep_scatter_is_exact_transpose():
+    """The Pallas scatter backward must be the exact adjoint of the gather:
+    <g, gather(src)> == <scatter(g), src> for random g/src, and must agree
+    with the XLA scatter on covered (zero-miss) geometry — including samples
+    straddling the image border."""
+    H, W, C, D = 32, 64, 8, 4
+    rng = np.random.default_rng(7)
+    src = jnp.asarray(rng.normal(size=(H, W, C)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(D, H, W, C)).astype(np.float32))
+    xs, ys = _smooth_coords(H, W, D)  # includes out-of-image samples (−5 px)
+    assert int(sg.count_misses(xs, ys, H, W).sum()) == 0
+
+    dsrc = sg._sweep_scatter_impl(g, xs, ys, H, W, interpret=True)
+    ref = sg._bilinear_scatter(g, xs, ys, H, W)
+    np.testing.assert_allclose(np.asarray(dsrc), np.asarray(ref), atol=1e-4)
+
+    lhs = float(jnp.vdot(g, sg.sweep_gather(src, xs, ys, interpret=True)))
+    rhs = float(jnp.vdot(dsrc, src))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-5)
+
+
 def test_red_recur_kernel_matches_xla_scan():
     """Fused per-scale GRU depth recurrence (ops/pallas/red_recur.py) vs
     scanning nn/blocks.ConvGRUCell.recur — same math, one kernel."""
