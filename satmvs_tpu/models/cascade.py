@@ -212,13 +212,13 @@ class CascadeModel(nn.Module):
             )
             if self.volume_partition is not None:
                 volume = jax.lax.with_sharding_constraint(volume, self.volume_partition)
-            # inference on TPU: fused single-kernel GRU recurrence (no VJP);
+            # TPU: fused single-kernel GRU recurrence (train too — the
+            # kernel has a custom VJP, ops/pallas/red_recur.py);
             # SATMVS_FUSED_RED=0 falls back to the XLA scan
             import os
 
             fused_red = (
-                not train
-                and jax.default_backend() == "tpu"
+                jax.default_backend() == "tpu"
                 and os.environ.get("SATMVS_FUSED_RED", "1") != "0"
             )
             if self.remat:

@@ -35,8 +35,10 @@ slabs of `pad` assemble into a (9C, R*W) patch (static lane/sublane offsets
 only), then ONE (Cout, 9C) @ (9C, R*W) MXU matmul — K-packed so the MXU sees
 9C contraction depth instead of nine K=C slivers.
 
-Inference path only (no VJP): training keeps the XLA scan, mirroring the
-fused sweep kernel's policy (ops/pallas/sweep_variance.py).
+Differentiable: a custom VJP recomputes each plane's internals in a reverse
+lax.scan from the forward's own output sequence (the GRU state IS the
+output), so training uses the fused kernel too, with zero extra residual
+storage.
 """
 
 from __future__ import annotations
@@ -168,8 +170,7 @@ def _red_recur_kernel(
     jax.lax.fori_loop(0, p_cnt, blend_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def red_recur(
+def _red_recur_impl(
     xc: jnp.ndarray,
     wh: jnp.ndarray,
     bh: jnp.ndarray,
@@ -178,17 +179,6 @@ def red_recur(
     gn: jnp.ndarray,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Run the full ConvGRU depth recurrence of one RED scale.
-
-    Args:
-      xc: (D, H, W, 3C) hoisted input contributions [gates-x (2C) | cand-x (C)].
-      wh: (3, 3, C, 2C) gates h-conv kernel;  bh: (2C,) its bias.
-      wc: (3, 3, C, C) candidate h-conv kernel;  bc: (C,) its bias.
-      gn: (6, C) GroupNorm params, rows = [r_scale, r_bias, u_scale, u_bias,
-          y_scale, y_bias].
-    Returns (D, H, W, C): the GRU output/state for every plane (zero-init
-    state; identical math to scanning nn/blocks.ConvGRUCell.recur over D).
-    """
     d, height, width, c3 = xc.shape
     c = c3 // 3
     r = _pack_rows(height, width)
@@ -253,6 +243,88 @@ def red_recur(
         .transpose(0, 1, 3, 4, 2)
         .reshape(d, height, width, c)
     )
+
+
+def _gn1(x, scale, bias):
+    """GroupNorm(num_groups=1): normalize over the whole (H, W, C) plane."""
+    mu = jnp.mean(x)
+    var = jnp.mean((x - mu) ** 2)
+    return (x - mu) * jax.lax.rsqrt(var + _EPS) * scale + bias
+
+
+def _cell_step(h, xc, wh, bh, wc, bc, gn):
+    """Pure-jnp mirror of one kernel plane step (single plane, NHWC-no-batch).
+
+    Used only by the custom-VJP backward: `jax.vjp` of this function gives
+    the exact local adjoint of what the kernel computes per plane."""
+    c = h.shape[-1]
+
+    def conv(inp, k):
+        return jax.lax.conv_general_dilated(
+            inp[None], k, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )[0]
+
+    gates = conv(h, wh) + xc[..., : 2 * c] + bh
+    r = jax.nn.sigmoid(_gn1(gates[..., :c], gn[0], gn[1]))
+    u = jax.nn.sigmoid(_gn1(gates[..., c:], gn[2], gn[3]))
+    y = jnp.tanh(_gn1(conv(r * h, wc) + xc[..., 2 * c :] + bc, gn[4], gn[5]))
+    return u * h + (1.0 - u) * y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def red_recur(
+    xc: jnp.ndarray,
+    wh: jnp.ndarray,
+    bh: jnp.ndarray,
+    wc: jnp.ndarray,
+    bc: jnp.ndarray,
+    gn: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Run the full ConvGRU depth recurrence of one RED scale (fused kernel).
+
+    Args:
+      xc: (D, H, W, 3C) hoisted input contributions [gates-x (2C) | cand-x (C)].
+      wh: (3, 3, C, 2C) gates h-conv kernel;  bh: (2C,) its bias.
+      wc: (3, 3, C, C) candidate h-conv kernel;  bc: (C,) its bias.
+      gn: (6, C) GroupNorm params, rows = [r_scale, r_bias, u_scale, u_bias,
+          y_scale, y_bias].
+    Returns (D, H, W, C): the GRU output/state for every plane (zero-init
+    state; identical math to scanning nn/blocks.ConvGRUCell.recur over D).
+
+    Differentiable: the backward is a reverse `lax.scan` that recomputes each
+    plane's internals from the saved state sequence (the forward's own
+    output) and applies the exact local VJP — no extra forward residuals are
+    stored, so the fused kernel serves training too.
+    """
+    return _red_recur_impl(xc, wh, bh, wc, bc, gn, interpret)
+
+
+def _red_recur_fwd(xc, wh, bh, wc, bc, gn, interpret):
+    outs = _red_recur_impl(xc, wh, bh, wc, bc, gn, interpret)
+    return outs, (xc, outs, wh, bh, wc, bc, gn)
+
+
+def _red_recur_bwd(interpret, res, g):
+    xc, outs, wh, bh, wc, bc, gn = res
+    params = (wh, bh, wc, bc, gn)
+    h_prev = jnp.concatenate([jnp.zeros_like(outs[:1]), outs[:-1]], axis=0)
+
+    def step(carry, inp):
+        dh, dps = carry
+        hp, xc_d, g_d = inp
+        _, vjp = jax.vjp(_cell_step, hp, xc_d, *params)
+        dhp, dxc_d, *dp = vjp(dh + g_d)
+        dps = jax.tree.map(jnp.add, dps, tuple(dp))
+        return (dhp, dps), dxc_d
+
+    zero = (jnp.zeros_like(outs[0]), jax.tree.map(jnp.zeros_like, params))
+    (_, dps), dxc = jax.lax.scan(step, zero, (h_prev, xc, g), reverse=True)
+    return (dxc, *dps)
+
+
+red_recur.defvjp(_red_recur_fwd, _red_recur_bwd)
 
 
 def cell_params_matrices(cell_params: dict) -> tuple:

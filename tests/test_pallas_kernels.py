@@ -137,3 +137,38 @@ def test_red_recur_kernel_matches_xla_scan():
             np.asarray(got), np.stack(want), atol=2e-5,
             err_msg=f"c={c}",
         )
+
+
+def test_red_recur_gradient_matches_scan():
+    """The custom VJP (reverse-scan recompute from the state sequence) must
+    match autodiff through a plain lax.scan of the same cell math."""
+    from satmvs_tpu.ops.pallas.red_recur import _cell_step, red_recur
+
+    c, d, h, w = 8, 4, 16, 24
+    rng = np.random.default_rng(11)
+    xc = jnp.asarray(rng.normal(size=(d, h, w, 3 * c)).astype(np.float32))
+    wh = jnp.asarray(rng.normal(0, 0.3, (3, 3, c, 2 * c)).astype(np.float32))
+    bh = jnp.asarray(rng.normal(0, 0.3, (2 * c,)).astype(np.float32))
+    wc = jnp.asarray(rng.normal(0, 0.3, (3, 3, c, c)).astype(np.float32))
+    bc = jnp.asarray(rng.normal(0, 0.3, (c,)).astype(np.float32))
+    gn = jnp.asarray(rng.normal(0.5, 0.3, (6, c)).astype(np.float32))
+
+    def ref_outs(xc, wh, bh, wc, bc, gn):
+        def step(hst, x):
+            hn = _cell_step(hst, x, wh, bh, wc, bc, gn)
+            return hn, hn
+        _, outs = jax.lax.scan(step, jnp.zeros((h, w, c)), xc)
+        return outs
+
+    def loss_ref(*args):
+        return jnp.sum(jnp.sin(ref_outs(*args)))
+
+    def loss_fused(*args):
+        return jnp.sum(jnp.sin(red_recur(*args, interpret=True)))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5))(xc, wh, bh, wc, bc, gn)
+    g_fus = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4, 5))(xc, wh, bh, wc, bc, gn)
+    for a, b, name in zip(g_fus, g_ref, "xc wh bh wc bc gn".split()):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-4, rtol=1e-3, err_msg=name
+        )
