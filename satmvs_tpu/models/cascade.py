@@ -78,10 +78,12 @@ def build_stage_volume(geo_model: str, feats, cams, hyps, fused: bool = False,
     """(B, V, h, w, C) features + cameras + (B, D, h, w) hypotheses →
     (B, D, h, w, C) variance cost volume (batch via vmap).
 
-    fused=True (inference on TPU): ONE Pallas kernel warps all source views
-    and accumulates the variance moments — per-view warped volumes never
-    touch HBM (ops/pallas/sweep_variance.py).  The fused kernel has no VJP,
-    so training uses the per-view path.
+    fused=True (TPU): ONE Pallas kernel warps all source views and
+    accumulates the variance moments — per-view warped volumes never touch
+    HBM (ops/pallas/sweep_variance.py).  Differentiable (custom VJP), so
+    training uses it too; it samples at the coarse-grid projected coords
+    (≤0.02 px vs exact — test-gated), a deliberate trade accepted for both
+    train and inference.
     """
     if geo_model == "rpc" and fused and jax.default_backend() == "tpu":
         from ..ops.coarse_coords import rpc_sweep_coords_coarse
@@ -206,6 +208,11 @@ class CascadeModel(nn.Module):
             )
 
             # ---- cost volume + regularization
+            # fused one-kernel volume at inference; training keeps the
+            # per-view gather path — the fused kernel IS differentiable
+            # (custom VJP) but its backward re-gathers the warped views it
+            # never stored, measured net slower at batch 1 (340 vs 303
+            # ms/step); flip to fused=True when volume memory binds.
             volume = build_stage_volume(
                 self.geo_model, stage_feats[i], cams[i], hyps,
                 fused=not train, stencil=self.sweep_stencil,

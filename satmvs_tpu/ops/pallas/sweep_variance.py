@@ -12,8 +12,9 @@ volumes (2 × 150 MB at stage-1 geometry) never materialize.  Inherits the
 per-tile base-offset + aligned-DMA + residual-roll machinery and the
 coverage contract (`sweep_gather.count_misses`) from sweep_gather.py.
 
-Inference-only fusion: gradients need the per-view volumes, so training uses
-the per-view `sweep_gather` (which has a VJP).
+Differentiable: the custom VJP recomputes the warped views with the gather
+kernel (cheap) and routes per-view cotangents through the exact-transpose
+scatter kernel — so training gets the one-kernel cost volume too.
 """
 
 from __future__ import annotations
@@ -115,7 +116,7 @@ def _sweep_variance_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("kv", "ks", "interpret"))
-def sweep_variance(ref: jnp.ndarray, srcs: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
+def _sweep_variance_impl(ref: jnp.ndarray, srcs: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
                    kv: int = 8, ks: int = 8, interpret: bool = False):
     """Fused variance cost volume over {ref, warped srcs}.
 
@@ -165,3 +166,57 @@ def sweep_variance(ref: jnp.ndarray, srcs: jnp.ndarray, xs: jnp.ndarray, ys: jnp
         interpret=interpret,
     )(xs, ys, ref_hcw, srcs_pad)
     return jnp.swapaxes(out, 2, 3)                            # (D, H, W, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def sweep_variance(ref: jnp.ndarray, srcs: jnp.ndarray, xs: jnp.ndarray,
+                   ys: jnp.ndarray, kv: int = 8, ks: int = 8,
+                   interpret: bool = False):
+    """Differentiable fused variance cost volume (see `_sweep_variance_impl`).
+
+    Backward: with f_v the per-view (warped) features and m the across-view
+    mean, ∂var/∂f_v = (2/V)(f_v − m).  The VJP recomputes the warped views
+    with the gather kernel (the fused forward deliberately never stored
+    them), forms the per-view cotangents elementwise, and transposes the
+    source-view ones back through the exact-adjoint scatter kernel; the ref
+    view is unwarped, so its cotangent is just a sum over planes.
+    Coordinates carry no gradient (plane-sweep geometry is non-differentiable
+    by design, ref modules/warping.py torch.no_grad())."""
+    return _sweep_variance_impl(ref, srcs, xs, ys, kv, ks, interpret)
+
+
+def _sweep_variance_fwd(ref, srcs, xs, ys, kv, ks, interpret):
+    out = _sweep_variance_impl(ref, srcs, xs, ys, kv, ks, interpret)
+    return out, (ref, srcs, xs, ys)
+
+
+def _sweep_variance_bwd(kv, ks, interpret, res, g):
+    from .sweep_gather import _sweep_gather_impl, _sweep_scatter_impl
+
+    ref, srcs, xs, ys = res
+    h, w, _ = ref.shape
+    n_src = srcs.shape[0]
+    v = n_src + 1
+
+    warped = [
+        _sweep_gather_impl(srcs[s], xs[s], ys[s], kv, ks, interpret)
+        for s in range(n_src)
+    ]
+    mean = ref[None]
+    for wv_ in warped:
+        mean = mean + wv_
+    mean = mean / v
+
+    scale = 2.0 / v
+    dref = jnp.sum(g * (scale * (ref[None] - mean)), axis=0)
+    dsrcs = jnp.stack([
+        _sweep_scatter_impl(
+            g * (scale * (warped[s] - mean)), xs[s], ys[s], h, w, kv, ks,
+            interpret,
+        )
+        for s in range(n_src)
+    ])
+    return dref, dsrcs, None, None
+
+
+sweep_variance.defvjp(_sweep_variance_fwd, _sweep_variance_bwd)

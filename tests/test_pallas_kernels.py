@@ -105,6 +105,36 @@ def test_sweep_scatter_is_exact_transpose():
     np.testing.assert_allclose(lhs, rhs, rtol=1e-5)
 
 
+def test_sweep_variance_gradient_matches_xla():
+    """Gradients of the fused variance volume w.r.t. ref and source features
+    must match autodiff through the XLA path (bilinear_sample + moments)."""
+    from satmvs_tpu.ops.cost_volume import variance_cost_volume
+    from satmvs_tpu.ops.pallas.sweep_variance import sweep_variance
+
+    H, W, C, D, S = 16, 32, 4, 3, 2
+    rng = np.random.default_rng(4)
+    ref = jnp.asarray(rng.normal(size=(H, W, C)).astype(np.float32))
+    srcs = jnp.asarray(rng.normal(size=(S, H, W, C)).astype(np.float32))
+    xs1, ys1 = _smooth_coords(H, W, D)
+    xs = jnp.stack([xs1, xs1 + 0.7])
+    ys = jnp.stack([ys1, ys1 - 0.4])
+
+    def loss_fused(ref, srcs):
+        return jnp.sum(jnp.sin(sweep_variance(ref, srcs, xs, ys, 8, 8, True)))
+
+    def loss_xla(ref, srcs):
+        warped = [
+            jax.vmap(lambda x, y: bilinear_sample(srcs[s], x, y))(xs[s], ys[s])
+            for s in range(S)
+        ]
+        return jnp.sum(jnp.sin(variance_cost_volume(ref, warped)))
+
+    gr_f, gs_f = jax.grad(loss_fused, argnums=(0, 1))(ref, srcs)
+    gr_x, gs_x = jax.grad(loss_xla, argnums=(0, 1))(ref, srcs)
+    np.testing.assert_allclose(np.asarray(gr_f), np.asarray(gr_x), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gs_f), np.asarray(gs_x), atol=2e-4)
+
+
 def test_red_recur_kernel_matches_xla_scan():
     """Fused per-scale GRU depth recurrence (ops/pallas/red_recur.py) vs
     scanning nn/blocks.ConvGRUCell.recur — same math, one kernel."""
