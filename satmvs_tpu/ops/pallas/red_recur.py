@@ -245,6 +245,408 @@ def _red_recur_impl(
     )
 
 
+def _red_recur_bwd_kernel(
+    h_ref, xc_ref, gb_ref, wg_ref, bg_ref, wc_ref, bc_ref, gn_ref,
+    wgrT_ref, wguT_ref, wcT_ref,
+    dxc_ref, dwg_ref, dbg_ref, dwc_ref, dbc_ref, dgn_ref,
+    dh_ref, dhn_ref, gates_ref, ylin_ref, tmp_ref, pada_ref, padb_ref, rhs_ref,
+    *, c: int, height: int, width: int, r: int,
+):
+    """Adjoint of one RED scale's depth recurrence — reverse grid over planes.
+
+    Per plane d (visited D−1 → 0): recompute the forward internals from the
+    carried-in h_prev (= the forward's own output for plane d−1, an input
+    block) and xc, then run the exact adjoint chain in VMEM:
+
+        dht = dh_carry + g_d
+        du = dht(h_prev − y)σ'(u);  dy_lin = GN_yᵀ(dht(1−u)·tanh')
+        dm = convᵀ(dy_lin, Wc);     dr = dm·h_prev
+        dgates = [GN_rᵀ(dr·σ'(r)) | GN_uᵀ(du)]
+        dh_prev = dht·u + dm·r + convᵀ(dgates, Wg)
+
+    Weight/bias/GN cotangents accumulate in VMEM-resident output blocks
+    (constant BlockSpec index) and are written to HBM once at the end.
+    GroupNorm(groups=1) transposes need whole-plane scalar moments, hence the
+    two-pass structure per normalized tensor.  conv and convᵀ are both
+    im2col matmuls (convᵀ uses the flipped-kernel transposed matrices, built
+    host-side).
+    """
+    d = pl.program_id(0)
+    nd = pl.num_programs(0)
+    p_cnt = height // r
+    inv_n = 1.0 / (height * width * c)
+    zero = jnp.float32(0)
+
+    @pl.when(d == 0)
+    def _():
+        dh_ref[...] = jnp.zeros_like(dh_ref)
+        pada_ref[...] = jnp.zeros_like(pada_ref)
+        padb_ref[...] = jnp.zeros_like(padb_ref)
+        dwg_ref[...] = jnp.zeros_like(dwg_ref)
+        dbg_ref[...] = jnp.zeros_like(dbg_ref)
+        dwc_ref[...] = jnp.zeros_like(dwc_ref)
+        dbc_ref[...] = jnp.zeros_like(dbc_ref)
+        dgn_ref[...] = jnp.zeros_like(dgn_ref)
+
+    def build_rhs(pad_ref, p, ch):
+        for dy in range(3):
+            for dx in range(3):
+                t = dy * 3 + dx
+                for s in range(r):
+                    slab = pad_ref[pl.ds(p * r + s + dy, 1), :, dx : dx + width]
+                    rhs_ref[t * ch : (t + 1) * ch, s * width : (s + 1) * width] = (
+                        slab.reshape(ch, width)
+                    )
+
+    def stage(pad_ref, p, buf):
+        """Write a (C, R·W) pack into pad rows (interior)."""
+        for s in range(r):
+            pad_ref[pl.ds(p * r + s + 1, 1), :, 1 : width + 1] = (
+                buf[:, s * width : (s + 1) * width].reshape(1, c, width)
+            )
+
+    def gn_vec(k):
+        return gn_ref[k].reshape(c, 1)
+
+    # ================= phase A: recompute forward internals ===============
+    def stage_h(p, _):
+        stage(pada_ref, p, h_ref[0, p])
+        return 0
+
+    jax.lax.fori_loop(0, p_cnt, stage_h, 0)
+
+    def gates_body(p, _):
+        build_rhs(pada_ref, p, c)
+        g = jnp.dot(wg_ref[...], rhs_ref[...], preferred_element_type=jnp.float32)
+        gates_ref[p] = g + xc_ref[0, p, : 2 * c, :] + bg_ref[...]
+        return 0
+
+    jax.lax.fori_loop(0, p_cnt, gates_body, 0)
+
+    def gate_sums(p, acc):
+        g = gates_ref[p]
+        return acc[0] + jnp.sum(g[:c]), acc[1] + jnp.sum(g[c:])
+
+    sr, su = jax.lax.fori_loop(0, p_cnt, gate_sums, (zero, zero))
+    mu_r = sr * inv_n
+    mu_u = su * inv_n
+
+    def gate_vars(p, acc):
+        g = gates_ref[p]
+        dr_ = g[:c] - mu_r
+        du_ = g[c:] - mu_u
+        return acc[0] + jnp.sum(dr_ * dr_), acc[1] + jnp.sum(du_ * du_)
+
+    vr, vu = jax.lax.fori_loop(0, p_cnt, gate_vars, (zero, zero))
+    inv_r = jax.lax.rsqrt(vr * inv_n + _EPS)
+    inv_u = jax.lax.rsqrt(vu * inv_n + _EPS)
+
+    def r_of(p):
+        return jax.nn.sigmoid(
+            (gates_ref[p, :c, :] - mu_r) * inv_r * gn_vec(0) + gn_vec(1)
+        )
+
+    def u_of(p):
+        return jax.nn.sigmoid(
+            (gates_ref[p, c:, :] - mu_u) * inv_u * gn_vec(2) + gn_vec(3)
+        )
+
+    def m_body(p, _):
+        stage(padb_ref, p, r_of(p) * h_ref[0, p])
+        return 0
+
+    jax.lax.fori_loop(0, p_cnt, m_body, 0)
+
+    def cand_body(p, acc):
+        build_rhs(padb_ref, p, c)
+        y = jnp.dot(wc_ref[...], rhs_ref[...], preferred_element_type=jnp.float32)
+        y = y + xc_ref[0, p, 2 * c :, :] + bc_ref[...]
+        ylin_ref[p] = y
+        return acc + jnp.sum(y)
+
+    sy = jax.lax.fori_loop(0, p_cnt, cand_body, zero)
+    mu_y = sy * inv_n
+
+    def cand_vars(p, acc):
+        dy_ = ylin_ref[p] - mu_y
+        return acc + jnp.sum(dy_ * dy_)
+
+    vy = jax.lax.fori_loop(0, p_cnt, cand_vars, zero)
+    inv_y = jax.lax.rsqrt(vy * inv_n + _EPS)
+
+    def xn_y(p):
+        return (ylin_ref[p] - mu_y) * inv_y
+
+    def y_of(p):
+        return jnp.tanh(xn_y(p) * gn_vec(4) + gn_vec(5))
+
+    # ================= phase B: blend + tanh + GN_y adjoint ================
+    # pass B1: tmp ← do_y (= dht(1−u)·(1−y²)); dhn ← dht·u; GN_y reductions
+    def b1(p, acc):
+        s_dxn, s_dxx, dsy, dby = acc
+        dht = dh_ref[p] + gb_ref[0, p]
+        u = u_of(p)
+        y = y_of(p)
+        do = dht * (1.0 - u) * (1.0 - y * y)
+        tmp_ref[p] = do
+        dhn_ref[p] = dht * u
+        xn = xn_y(p)
+        dxn = do * gn_vec(4)
+        return (
+            s_dxn + jnp.sum(dxn),
+            s_dxx + jnp.sum(dxn * xn),
+            dsy + jnp.sum(do * xn, axis=1, keepdims=True),
+            dby + jnp.sum(do, axis=1, keepdims=True),
+        )
+
+    zc = jnp.zeros((c, 1), jnp.float32)
+    s_dxn, s_dxx, dsy, dby = jax.lax.fori_loop(0, p_cnt, b1, (zero, zero, zc, zc))
+    dgn_ref[:, 4:5] = dgn_ref[:, 4:5] + dsy
+    dgn_ref[:, 5:6] = dgn_ref[:, 5:6] + dby
+    m1y = s_dxn * inv_n
+    m2y = s_dxx * inv_n
+
+    # pass B2: tmp ← dy_lin; dbc, dWc (rhs of m still in pad_b), dxc[2C:]
+    def b2(p, _):
+        do = tmp_ref[p]
+        dy_lin = (do * gn_vec(4) - m1y - xn_y(p) * m2y) * inv_y
+        tmp_ref[p] = dy_lin
+        dxc_ref[0, p, 2 * c :, :] = dy_lin
+        dbc_ref[...] = dbc_ref[...] + jnp.sum(dy_lin, axis=1, keepdims=True)
+        build_rhs(padb_ref, p, c)
+        dwc_ref[...] = dwc_ref[...] + jax.lax.dot_general(
+            dy_lin, rhs_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return 0
+
+    jax.lax.fori_loop(0, p_cnt, b2, 0)
+
+    # pass B3: dm = convᵀ(dy_lin, Wc)  (stage dy_lin into pad_b, reuse rhs)
+    def stage_tmp(p, _):
+        stage(padb_ref, p, tmp_ref[p])
+        return 0
+
+    jax.lax.fori_loop(0, p_cnt, stage_tmp, 0)
+
+    def b3(p, _):
+        build_rhs(padb_ref, p, c)
+        tmp_ref[p] = jnp.dot(
+            wcT_ref[...], rhs_ref[...], preferred_element_type=jnp.float32
+        )
+        return 0
+
+    jax.lax.fori_loop(0, p_cnt, b3, 0)
+
+    # ================= phase C: r / u chains ===============================
+    # pass C1: dr_pre → dxc[:C], du_pre → dxc[C:2C]; dhn += dm·r; reductions
+    def xn_r(p):
+        return (gates_ref[p, :c, :] - mu_r) * inv_r
+
+    def xn_u(p):
+        return (gates_ref[p, c:, :] - mu_u) * inv_u
+
+    def c1(p, acc):
+        s_dxn_r, s_dxx_r, dsr, dbr, s_dxn_u, s_dxx_u, dsu, dbu = acc
+        dm = tmp_ref[p]
+        rr = r_of(p)
+        dhn_ref[p] = dhn_ref[p] + dm * rr
+        dr_pre = dm * h_ref[0, p] * rr * (1.0 - rr)
+        uu = u_of(p)
+        dht = dh_ref[p] + gb_ref[0, p]
+        du_pre = dht * (h_ref[0, p] - y_of(p)) * uu * (1.0 - uu)
+        dxc_ref[0, p, :c, :] = dr_pre
+        dxc_ref[0, p, c : 2 * c, :] = du_pre
+        xnr = xn_r(p)
+        xnu = xn_u(p)
+        dxnr = dr_pre * gn_vec(0)
+        dxnu = du_pre * gn_vec(2)
+        return (
+            s_dxn_r + jnp.sum(dxnr),
+            s_dxx_r + jnp.sum(dxnr * xnr),
+            dsr + jnp.sum(dr_pre * xnr, axis=1, keepdims=True),
+            dbr + jnp.sum(dr_pre, axis=1, keepdims=True),
+            s_dxn_u + jnp.sum(dxnu),
+            s_dxx_u + jnp.sum(dxnu * xnu),
+            dsu + jnp.sum(du_pre * xnu, axis=1, keepdims=True),
+            dbu + jnp.sum(du_pre, axis=1, keepdims=True),
+        )
+
+    acc0 = (zero, zero, zc, zc, zero, zero, zc, zc)
+    s_dxn_r, s_dxx_r, dsr, dbr, s_dxn_u, s_dxx_u, dsu, dbu = (
+        jax.lax.fori_loop(0, p_cnt, c1, acc0)
+    )
+    dgn_ref[:, 0:1] = dgn_ref[:, 0:1] + dsr
+    dgn_ref[:, 1:2] = dgn_ref[:, 1:2] + dbr
+    dgn_ref[:, 2:3] = dgn_ref[:, 2:3] + dsu
+    dgn_ref[:, 3:4] = dgn_ref[:, 3:4] + dbu
+    m1r = s_dxn_r * inv_n
+    m2r = s_dxx_r * inv_n
+    m1u = s_dxn_u * inv_n
+    m2u = s_dxx_u * inv_n
+
+    # pass C2: finalize dgates in dxc[:2C]; dbg; dWg (rhs of h in pad_a)
+    def c2(p, _):
+        dr_pre = dxc_ref[0, p, :c, :]
+        du_pre = dxc_ref[0, p, c : 2 * c, :]
+        dgr = (dr_pre * gn_vec(0) - m1r - xn_r(p) * m2r) * inv_r
+        dgu = (du_pre * gn_vec(2) - m1u - xn_u(p) * m2u) * inv_u
+        dxc_ref[0, p, :c, :] = dgr
+        dxc_ref[0, p, c : 2 * c, :] = dgu
+        dbg_ref[:c] = dbg_ref[:c] + jnp.sum(dgr, axis=1, keepdims=True)
+        dbg_ref[c:] = dbg_ref[c:] + jnp.sum(dgu, axis=1, keepdims=True)
+        build_rhs(pada_ref, p, c)
+        dg2 = jnp.concatenate([dgr, dgu], axis=0)
+        dwg_ref[...] = dwg_ref[...] + jax.lax.dot_general(
+            dg2, rhs_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return 0
+
+    jax.lax.fori_loop(0, p_cnt, c2, 0)
+
+    # pass C3: dh_prev += convᵀ(dgr, Wg_r) + convᵀ(dgu, Wg_u)
+    def stage_dgr(p, _):
+        stage(padb_ref, p, dxc_ref[0, p, :c, :])
+        return 0
+
+    jax.lax.fori_loop(0, p_cnt, stage_dgr, 0)
+
+    def c3r(p, _):
+        build_rhs(padb_ref, p, c)
+        dhn_ref[p] = dhn_ref[p] + jnp.dot(
+            wgrT_ref[...], rhs_ref[...], preferred_element_type=jnp.float32
+        )
+        return 0
+
+    jax.lax.fori_loop(0, p_cnt, c3r, 0)
+
+    def stage_dgu(p, _):
+        stage(padb_ref, p, dxc_ref[0, p, c : 2 * c, :])
+        return 0
+
+    jax.lax.fori_loop(0, p_cnt, stage_dgu, 0)
+
+    def c3u(p, _):
+        build_rhs(padb_ref, p, c)
+        dh_ref[p] = dhn_ref[p] + jnp.dot(
+            wguT_ref[...], rhs_ref[...], preferred_element_type=jnp.float32
+        )
+        return 0
+
+    jax.lax.fori_loop(0, p_cnt, c3u, 0)
+
+
+def _flipT(w):
+    """(3, 3, Cin, Cout) conv kernel → (Cin, 9·Cout) transposed-conv matrix:
+    element [ci, (dy·3+dx)·Cout + co] = w[2−dy, 2−dx, ci, co]."""
+    c_in = w.shape[2]
+    return jnp.flip(w, (0, 1)).transpose(2, 0, 1, 3).reshape(c_in, -1)
+
+
+def _red_recur_bwd_pallas(xc, outs, wh, bh, wc, bc, gn, g, interpret=False):
+    """Pallas backward: cotangents of (xc, wh, bh, wc, bc, gn) from upstream
+    g (D, H, W, C) and the forward state sequence `outs`."""
+    d, height, width, c3 = xc.shape
+    c = c3 // 3
+    r = _pack_rows(height, width)
+    p_cnt = height // r
+
+    def pack(t, ch):
+        return (
+            t.reshape(d, p_cnt, r, width, ch)
+            .transpose(0, 1, 4, 2, 3)
+            .reshape(d, p_cnt, ch, r * width)
+        )
+
+    h_all = jnp.concatenate([jnp.zeros_like(outs[:1]), outs[:-1]], axis=0)
+    xc_p = pack(xc, 3 * c)
+    h_p = pack(h_all, c)
+    g_p = pack(g, c)
+
+    wg_mat = wh.reshape(9 * c, 2 * c).T
+    wc_mat = wc.reshape(9 * c, c).T
+    wgrT = _flipT(wh[..., :c])
+    wguT = _flipT(wh[..., c:])
+    wcT = _flipT(wc)
+
+    kernel = functools.partial(
+        _red_recur_bwd_kernel, c=c, height=height, width=width, r=r
+    )
+    rev = lambda di: (d - 1 - di, 0, 0, 0)
+    blk = lambda ch: pl.BlockSpec((1, p_cnt, ch, r * width), rev,
+                                  memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(shape, lambda di: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    outs_spec = [
+        blk(3 * c),                                  # dxc
+        const((2 * c, 9 * c)),                       # dwg
+        const((2 * c, 1)),                           # dbg
+        const((c, 9 * c)),                           # dwc
+        const((c, 1)),                               # dbc
+        const((c, 6)),                               # dgn (transposed)
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((d, p_cnt, 3 * c, r * width), jnp.float32),
+        jax.ShapeDtypeStruct((2 * c, 9 * c), jnp.float32),
+        jax.ShapeDtypeStruct((2 * c, 1), jnp.float32),
+        jax.ShapeDtypeStruct((c, 9 * c), jnp.float32),
+        jax.ShapeDtypeStruct((c, 1), jnp.float32),
+        jax.ShapeDtypeStruct((c, 6), jnp.float32),
+    ]
+    dxc_p, dwg, dbg, dwc, dbc, dgn_t = pl.pallas_call(
+        kernel,
+        grid=(d,),
+        in_specs=[
+            blk(c),                                  # h_prev
+            blk(3 * c),                              # xc
+            blk(c),                                  # g upstream
+            full, full, full, full, full,            # wg, bg, wc, bc, gn
+            full, full, full,                        # wgrT, wguT, wcT
+        ],
+        out_specs=outs_spec,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((p_cnt, c, r * width), jnp.float32),        # dh carry
+            pltpu.VMEM((p_cnt, c, r * width), jnp.float32),        # dhn accum
+            pltpu.VMEM((p_cnt, 2 * c, r * width), jnp.float32),    # gates raw
+            pltpu.VMEM((p_cnt, c, r * width), jnp.float32),        # ylin raw
+            pltpu.VMEM((p_cnt, c, r * width), jnp.float32),        # tmp
+            pltpu.VMEM((height + 2, c, width + 2), jnp.float32),   # pad_a
+            pltpu.VMEM((height + 2, c, width + 2), jnp.float32),   # pad_b
+            pltpu.VMEM((9 * c, r * width), jnp.float32),           # im2col
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        h_p, xc_p, g_p,
+        wg_mat, bh.reshape(2 * c, 1), wc_mat, bc.reshape(c, 1), gn,
+        wgrT, wguT, wcT,
+    )
+    dxc = (
+        dxc_p.reshape(d, p_cnt, 3 * c, r, width)
+        .transpose(0, 1, 3, 4, 2)
+        .reshape(d, height, width, 3 * c)
+    )
+    dwh = dwg.T.reshape(3, 3, c, 2 * c)
+    dwc_k = dwc.T.reshape(3, 3, c, c)
+    return dxc, dwh, dbg.reshape(2 * c), dwc_k, dbc.reshape(c), dgn_t.T
+
+
+def _bwd_vmem_bytes(d, height, width, c):
+    """Rough VMEM footprint of the backward kernel (I/O blocks are
+    double-buffered by the pipeline; scratches are single)."""
+    plane = height * width * 4
+    io = 2 * (c + 3 * c + c + 3 * c) * plane          # h, xc, g, dxc ×2
+    scratch = (c + c + 2 * c + c + c) * plane         # dh, dhn, gates, ylin, tmp
+    pads = 2 * (height + 2) * c * (width + 2) * 4
+    return io + scratch + pads
+
+
 def _gn1(x, scale, bias):
     """GroupNorm(num_groups=1): normalize over the whole (H, W, C) plane."""
     mu = jnp.mean(x)
@@ -306,8 +708,17 @@ def _red_recur_fwd(xc, wh, bh, wc, bc, gn, interpret):
     return outs, (xc, outs, wh, bh, wc, bc, gn)
 
 
+_BWD_VMEM_CAP = 100 * 1024 * 1024
+
+
 def _red_recur_bwd(interpret, res, g):
     xc, outs, wh, bh, wc, bc, gn = res
+    d, height, width, c3 = xc.shape
+    if _bwd_vmem_bytes(d, height, width, c3 // 3) <= _BWD_VMEM_CAP:
+        return _red_recur_bwd_pallas(xc, outs, wh, bh, wc, bc, gn, g, interpret)
+
+    # fallback (plane too large for the VMEM-resident adjoint): reverse scan
+    # recomputing each step in XLA
     params = (wh, bh, wc, bc, gn)
     h_prev = jnp.concatenate([jnp.zeros_like(outs[:1]), outs[:-1]], axis=0)
 

@@ -202,3 +202,20 @@ def test_red_recur_gradient_matches_scan():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=3e-4, rtol=1e-3, err_msg=name
         )
+
+    # the reverse-scan fallback (giant-plane shapes) must agree too
+    from satmvs_tpu.ops.pallas import red_recur as rr
+
+    cap = rr._BWD_VMEM_CAP
+    try:
+        rr._BWD_VMEM_CAP = 0
+        g_fb = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4, 5))(
+            xc, wh, bh, wc, bc, gn
+        )
+    finally:
+        rr._BWD_VMEM_CAP = cap
+    for a, b, name in zip(g_fb, g_ref, "xc wh bh wc bc gn".split()):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-4, rtol=1e-3,
+            err_msg=f"fallback {name}",
+        )
