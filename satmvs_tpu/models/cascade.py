@@ -85,7 +85,10 @@ def build_stage_volume(geo_model: str, feats, cams, hyps, fused: bool = False,
     (≤0.02 px vs exact — test-gated), a deliberate trade accepted for both
     train and inference.
     """
-    if geo_model == "rpc" and fused and jax.default_backend() == "tpu":
+    import os
+
+    if (geo_model == "rpc" and fused and jax.default_backend() == "tpu"
+            and os.environ.get("SATMVS_FUSED_SWEEP", "1") != "0"):
         from ..ops.coarse_coords import rpc_sweep_coords_coarse
         from ..ops.pallas.sweep_variance import sweep_variance
 

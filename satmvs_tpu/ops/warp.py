@@ -307,3 +307,56 @@ def homo_warp(src_feat: jnp.ndarray, src_proj: jnp.ndarray, ref_proj: jnp.ndarra
 
         return sweep_gather(src_feat, x_src, y_src)
     return bilinear_sample(src_feat, x_src, y_src)
+
+
+def sweep_coverage_misses(rpcs: np.ndarray, ref_index: int = 0,
+                          height: int = 384, width: int = 768,
+                          num_stage: int = 3, ndepth: int = 16,
+                          stencil: int = 8, depth_range=None):
+    """Dropped-sample counts of the fused sweep kernels for a scene's cameras.
+
+    The Pallas sweep kernels (ops/pallas/sweep_gather.py, sweep_variance.py)
+    assume warp smoothness: within each 8-row output tile the integer sample
+    offsets must span ≤ `stencil` pixels, else those samples contribute zero.
+    This is the host-side gate of that contract: a full-height-range sweep at
+    every cascade stage's resolution, sampled at the shipped coarse-grid
+    projected coordinates.  Returns {stage: total dropped samples over all
+    source views}; all-zero ⇒ the fused path is exact for this geometry
+    (later cascade stages sweep narrower ranges, so stage-wise full-range
+    coverage is the conservative bound).
+
+    On a nonzero count: raise `CascadeModel.sweep_stencil`, or set
+    SATMVS_FUSED_SWEEP=0 to fall back to the XLA sampling path.
+    """
+    rpcs = np.asarray(rpcs, np.float64)
+    order = [ref_index] + [i for i in range(len(rpcs)) if i != ref_index]
+    cams_stages = build_stage_cams(rpcs[order], 0, num_stage)
+    if depth_range is None:
+        depth_range = rpclib.height_range(rpcs[ref_index])
+    return sweep_coverage_misses_from_cams(
+        cams_stages, height, width, depth_range, ndepth=ndepth, stencil=stencil
+    )
+
+
+def sweep_coverage_misses_from_cams(cams_stages, height: int, width: int,
+                                    depth_range, ndepth: int = 16,
+                                    stencil: int = 8):
+    """`sweep_coverage_misses` given already-built per-stage RpcWarpCams
+    (e.g. a dataset sample's `cams`; pass un-batched bundles)."""
+    from .coarse_coords import rpc_sweep_coords_coarse
+    from .pallas.sweep_gather import count_misses
+
+    num_stage = len(cams_stages)
+    scales = {3: (0.25, 0.5, 1.0), 2: (0.25, 1.0), 1: (0.25,)}[num_stage]
+    depths = jnp.linspace(float(depth_range[0]), float(depth_range[1]),
+                          ndepth, dtype=jnp.float32)
+    out = {}
+    for stage, (cams, s) in enumerate(zip(cams_stages, scales), start=1):
+        sh, sw = int(height * s), int(width * s)
+        n_src = cams.renorm.shape[0]
+        total = 0
+        for src in range(n_src):
+            xs, ys = rpc_sweep_coords_coarse(cams, src, depths, sh, sw)
+            total += int(count_misses(xs, ys, sh, sw, stencil, stencil).sum())
+        out[stage] = total
+    return out

@@ -74,6 +74,23 @@ def main() -> None:
     )
     ld = Loader(ds, batch_size=1)
     first = next(iter(ld))
+
+    if a.geo_model == "rpc":
+        # fused-sweep coverage contract: validate once on the first sample
+        import jax as _jax
+
+        from satmvs_tpu.ops.warp import sweep_coverage_misses_from_cams
+
+        cams0 = _jax.tree.map(lambda x: x[0], first["cams"])
+        h0, w0 = first["imgs"].shape[2:4]
+        misses = sweep_coverage_misses_from_cams(
+            cams0, h0, w0, first["depth_values"][0]
+        )
+        if any(misses.values()):
+            print(f"WARNING: fused-sweep stencil drops samples {misses}; "
+                  "set SATMVS_FUSED_SWEEP=0 or raise sweep_stencil",
+                  file=sys.stderr)
+
     model, state, _ = create_model_and_state(cfg, first, steps_per_epoch=1)
     restored, ep = restore_checkpoint(a.loadckpt, state)
     if restored is None:

@@ -61,6 +61,19 @@ def main() -> None:
     images = np.stack([formats.read_image(pth)[..., 0] for pth in a.images])
     rpcs = np.stack([formats.load_rpc(pth)[0] for pth in a.rpcs])
 
+    # fused-sweep coverage contract: validate this scene's cameras once (at
+    # tile geometry — per-tile RPC crops only shift offsets, coverage is
+    # scale/offset-invariant)
+    from satmvs_tpu.ops import warp as _warplib
+
+    tile_hw = a.tile + 2 * a.halo
+    misses = _warplib.sweep_coverage_misses(
+        rpcs, a.ref_index, tile_hw, tile_hw, num_stage=3
+    )
+    if any(misses.values()):
+        print(f"WARNING: fused-sweep stencil drops samples {misses}; "
+              "set SATMVS_FUSED_SWEEP=0 or raise sweep_stencil", file=sys.stderr)
+
     cfg = Config(model=a.model, geo_model="rpc",
                  ndepths=tuple(int(x) for x in a.ndepths.split(",")),
                  min_interval=a.min_interval, view_num=len(a.images))

@@ -231,3 +231,20 @@ def test_expected_variance():
     ev = regression.expected_variance(prob, vals, depth, lamb=1.5)
     want = 1.5 * np.sqrt(np.mean((np.arange(d) - 3.5) ** 2))
     np.testing.assert_allclose(np.asarray(ev), want, rtol=1e-5)
+
+
+def test_sweep_coverage_validator():
+    """The coverage gate reports zero for a sane synthetic triplet and
+    nonzero when the stencil is too small for the geometry."""
+    from satmvs_tpu.data import synthetic
+    from satmvs_tpu.ops.warp import sweep_coverage_misses
+
+    rpcs = np.stack(synthetic.make_rpc_triplet(256, 256, seed=3))
+    misses = sweep_coverage_misses(rpcs[[2, 0, 1]], 0, 128, 128, num_stage=3)
+    assert set(misses) == {1, 2, 3}
+    assert all(v == 0 for v in misses.values()), misses
+
+    # a 0-tap stencil cannot cover bilinear corners → must report drops
+    tight = sweep_coverage_misses(rpcs[[2, 0, 1]], 0, 128, 128, num_stage=3,
+                                  stencil=0)
+    assert sum(tight.values()) > 0
