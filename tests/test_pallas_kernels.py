@@ -219,3 +219,19 @@ def test_red_recur_gradient_matches_scan():
             np.asarray(a), np.asarray(b), atol=3e-4, rtol=1e-3,
             err_msg=f"fallback {name}",
         )
+
+    # the slab-streamed kernel (stage-3 production planes) must agree too:
+    # force its selection by zeroing only the dense cap
+    try:
+        rr._BWD_VMEM_CAP = 0
+        assert rr._stream_vmem_bytes(d, h, w, c) <= rr._STREAM_VMEM_CAP
+        g_st = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4, 5))(
+            xc, wh, bh, wc, bc, gn
+        )
+    finally:
+        rr._BWD_VMEM_CAP = cap
+    for a, b, name in zip(g_st, g_ref, "xc wh bh wc bc gn".split()):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-4, rtol=1e-3,
+            err_msg=f"streamed {name}",
+        )
