@@ -72,6 +72,11 @@ def main() -> None:
     a = p.parse_args()
 
     import jax
+
+    from satmvs_tpu import cache as _cache
+
+    _cache.enable()  # persistent compile cache (Mosaic kernel compiles are minutes)
+
     import jax.numpy as jnp
 
     from satmvs_tpu.data import synthetic
