@@ -117,7 +117,7 @@ def build_stage_volume(geo_model: str, feats, cams, hyps, fused: bool = False,
             return sweep_variance_volume(
                 feats_b[0],
                 feats_b[1:],
-                lambda sf, s: rpc_warp(sf, cams_b, s, hyps_b),
+                lambda sf, s: rpc_warp(sf, cams_b, s, hyps_b, stencil=stencil),
             )
 
     else:
@@ -126,7 +126,8 @@ def build_stage_volume(geo_model: str, feats, cams, hyps, fused: bool = False,
             return sweep_variance_volume(
                 feats_b[0],
                 feats_b[1:],
-                lambda sf, s: homo_warp(sf, projs_b[s + 1], projs_b[0], hyps_b),
+                lambda sf, s: homo_warp(sf, projs_b[s + 1], projs_b[0], hyps_b,
+                                        stencil=stencil),
             )
 
     return jax.vmap(one)(feats, cams, hyps)
@@ -152,12 +153,16 @@ class CascadeModel(nn.Module):
     # running under a mesh context) XLA keeps volumes sharded over the named
     # axes and inserts conv halo exchanges — see dist/mesh.py.
     volume_partition: object = None
-    # Compute dtype of the 3-D regularization convs (e.g. jnp.bfloat16 for
-    # 2x MXU throughput on the FLOP-heavy CostRegNet; params stay fp32).
+    # Compute dtype of the conv stacks (FeatureNet, the RED hoisted
+    # encoder/decoder/x-contrib convs, CostRegNet) — e.g. jnp.bfloat16 for
+    # fewer MXU passes + half the HBM traffic.  Params, the GRU recurrence,
+    # the variance moments, and all Pallas kernels stay fp32.
     compute_dtype: object = None
-    # Tap-stencil half-width of the fused inference sweep kernel; 8 is safe
-    # for any plausible satellite geometry, 4 is ~1.5x faster and valid when
-    # ops.pallas.sweep_gather.count_misses reports 0 for the scene's cameras.
+    # Tap-stencil half-width of the Pallas sweep kernels (the fused inference
+    # sweep AND the per-view training gathers + their scatter adjoints); 8 is
+    # safe for any plausible satellite geometry, 4 is ~2x faster and exact
+    # when ops.warp.sweep_coverage_misses(..., stencil=4) is all-zero for the
+    # scene's cameras (the train/predict CLIs check this).
     sweep_stencil: int = 8
     # Rematerialize the regularizers during backprop (jax.checkpoint): trades
     # recompute for activation memory — enables training larger tiles / depth
@@ -173,7 +178,8 @@ class CascadeModel(nn.Module):
         b, v, height, width, _ = imgs.shape
 
         # ---- feature extraction: fold views into batch (shared weights)
-        feat_net = FeatureNet(self.feat_base_chs, num_stage, self.arch_mode)
+        feat_net = FeatureNet(self.feat_base_chs, num_stage, self.arch_mode,
+                              dtype=self.compute_dtype)
         flat = imgs.reshape(b * v, height, width, imgs.shape[-1])
         stage_feats = feat_net(flat, train)  # list coarsest-first
         stage_feats = [
@@ -183,7 +189,7 @@ class CascadeModel(nn.Module):
         # ---- stage regularizers
         def make_reg(i):
             if self.regularizer == "red":
-                return REDRegularizer(self.cr_base_chs[i])
+                return REDRegularizer(self.cr_base_chs[i], dtype=self.compute_dtype)
             return CostRegNet(self.cr_base_chs[i], dtype=self.compute_dtype)
 
         if self.share_cr:

@@ -135,13 +135,17 @@ class ConvGRUCell(nn.Module):
 
     features: int
     kernel_size: int = 3
+    dtype: object = None  # compute dtype of the batched x-side conv only
+    # (x_contrib runs once over all planes — MXU/bandwidth heavy); the
+    # recurrent h-side convs always run fp32: the GRU state feedback loop
+    # compounds rounding across D steps.
 
     def setup(self):
         k = (self.kernel_size,) * 2
         p = _pad(self.kernel_size)
         pad = [(p, p)] * 2
         self.x_conv = nn.Conv(self.features * 3, k, padding=pad,
-                              use_bias=False, name="Conv_x")
+                              use_bias=False, dtype=self.dtype, name="Conv_x")
         self.gates_h_conv = nn.Conv(self.features * 2, k, padding=pad,
                                     use_bias=True, name="Conv_h")
         self.cand_h_conv = nn.Conv(self.features, k, padding=pad,
@@ -207,10 +211,13 @@ class DeconvFuse(nn.Module):
 
     features: int
     kernel_size: int = 3
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x_skip, x, train: bool = False):
-        x = DeconvBlock(self.features, self.kernel_size, norm="bn")(x, train)
+        x = DeconvBlock(self.features, self.kernel_size, norm="bn",
+                        dtype=self.dtype)(x, train)
         x = jnp.concatenate([x, x_skip], axis=-1)
-        x = ConvBlock(self.features, self.kernel_size, norm="bn")(x, train)
+        x = ConvBlock(self.features, self.kernel_size, norm="bn",
+                      dtype=self.dtype)(x, train)
         return x

@@ -19,6 +19,9 @@ class FeatureNet(nn.Module):
     base_channels: int = 8
     num_stage: int = 3
     arch_mode: str = "unet"  # "unet" (RED models) or "fpn" (CasMVS default)
+    dtype: object = None  # conv compute dtype (e.g. jnp.bfloat16); params and
+    # the returned feature maps stay fp32 (the sweep kernels and the variance
+    # moments are fp32)
 
     @property
     def out_channels(self) -> list[int]:
@@ -29,41 +32,46 @@ class FeatureNet(nn.Module):
     def __call__(self, x, train: bool = False):
         assert self.arch_mode in ("unet", "fpn")
         b = self.base_channels
+        dt = self.dtype
 
-        conv0 = ConvBlock(b, 3)(x, train)
-        conv0 = ConvBlock(b, 3)(conv0, train)
+        conv0 = ConvBlock(b, 3, dtype=dt)(x, train)
+        conv0 = ConvBlock(b, 3, dtype=dt)(conv0, train)
 
-        conv1 = ConvBlock(b * 2, 5, stride=2)(conv0, train)
-        conv1 = ConvBlock(b * 2, 3)(conv1, train)
-        conv1 = ConvBlock(b * 2, 3)(conv1, train)
+        conv1 = ConvBlock(b * 2, 5, stride=2, dtype=dt)(conv0, train)
+        conv1 = ConvBlock(b * 2, 3, dtype=dt)(conv1, train)
+        conv1 = ConvBlock(b * 2, 3, dtype=dt)(conv1, train)
 
-        conv2 = ConvBlock(b * 4, 5, stride=2)(conv1, train)
-        conv2 = ConvBlock(b * 4, 3)(conv2, train)
-        conv2 = ConvBlock(b * 4, 3)(conv2, train)
+        conv2 = ConvBlock(b * 4, 5, stride=2, dtype=dt)(conv1, train)
+        conv2 = ConvBlock(b * 4, 3, dtype=dt)(conv2, train)
+        conv2 = ConvBlock(b * 4, 3, dtype=dt)(conv2, train)
 
-        outputs = [nn.Conv(b * 4, (1, 1), use_bias=False)(conv2)]
+        outputs = [nn.Conv(b * 4, (1, 1), use_bias=False, dtype=dt)(conv2)]
         if self.num_stage == 1:
-            return outputs
+            return [o.astype(jnp.float32) for o in outputs]
 
         if self.arch_mode == "unet":
-            intra = DeconvFuse(b * 2)(conv1, conv2, train)
-            outputs.append(nn.Conv(b * 2, (1, 1), use_bias=False)(intra))
+            intra = DeconvFuse(b * 2, dtype=dt)(conv1, conv2, train)
+            outputs.append(nn.Conv(b * 2, (1, 1), use_bias=False, dtype=dt)(intra))
             if self.num_stage == 3:
-                intra = DeconvFuse(b)(conv0, intra, train)
-                outputs.append(nn.Conv(b, (1, 1), use_bias=False)(intra))
+                intra = DeconvFuse(b, dtype=dt)(conv0, intra, train)
+                outputs.append(nn.Conv(b, (1, 1), use_bias=False, dtype=dt)(intra))
         else:  # fpn: nearest-upsample + lateral 1x1, 3x3 heads
             final_chs = b * 4
-            intra = _upsample2x(conv2) + nn.Conv(final_chs, (1, 1), use_bias=True)(conv1)
+            intra = _upsample2x(conv2) + nn.Conv(final_chs, (1, 1), use_bias=True,
+                                                 dtype=dt)(conv1)
             head_chs = b * 2 if self.num_stage == 3 else b
             outputs.append(
-                nn.Conv(head_chs, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False)(intra)
+                nn.Conv(head_chs, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+                        dtype=dt)(intra)
             )
             if self.num_stage == 3:
-                intra = _upsample2x(intra) + nn.Conv(final_chs, (1, 1), use_bias=True)(conv0)
+                intra = _upsample2x(intra) + nn.Conv(final_chs, (1, 1), use_bias=True,
+                                                     dtype=dt)(conv0)
                 outputs.append(
-                    nn.Conv(b, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False)(intra)
+                    nn.Conv(b, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+                            dtype=dt)(intra)
                 )
-        return outputs
+        return [o.astype(jnp.float32) for o in outputs]
 
 
 def _upsample2x(x: jnp.ndarray) -> jnp.ndarray:

@@ -57,28 +57,31 @@ class REDStep(nn.Module):
     """
 
     base_channels: int = 8
+    dtype: object = None  # compute dtype of the hoisted (non-recurrent)
+    # encoder/decoder/x-contrib convs; the in-scan recurrence stays fp32
 
     def setup(self):
         b = self.base_channels
+        dt = self.dtype
         # names pinned to the historical compact auto-names (ckpt compat)
         self.enc1 = ConvBlock(b * 2, 3, stride=2, norm="none", use_bias=False,
-                              name="ConvBlock_0")
+                              dtype=dt, name="ConvBlock_0")
         self.enc2 = ConvBlock(b * 4, 3, stride=2, norm="none", use_bias=False,
-                              name="ConvBlock_1")
+                              dtype=dt, name="ConvBlock_1")
         self.enc3 = ConvBlock(b * 8, 3, stride=2, norm="none", use_bias=False,
-                              name="ConvBlock_2")
-        self.gru4 = ConvGRUCell(b * 8, name="ConvGRUCell_0")
+                              dtype=dt, name="ConvBlock_2")
+        self.gru4 = ConvGRUCell(b * 8, dtype=dt, name="ConvGRUCell_0")
         self.up3 = DeconvBlock(b * 4, 3, norm="none", use_bias=False,
-                               name="DeconvBlock_0")
-        self.gru3 = ConvGRUCell(b * 4, name="ConvGRUCell_1")
+                               dtype=dt, name="DeconvBlock_0")
+        self.gru3 = ConvGRUCell(b * 4, dtype=dt, name="ConvGRUCell_1")
         self.up2 = DeconvBlock(b * 2, 3, norm="none", use_bias=False,
-                               name="DeconvBlock_1")
-        self.gru2 = ConvGRUCell(b * 2, name="ConvGRUCell_2")
+                               dtype=dt, name="DeconvBlock_1")
+        self.gru2 = ConvGRUCell(b * 2, dtype=dt, name="ConvGRUCell_2")
         self.up1 = DeconvBlock(b, 3, norm="none", use_bias=False,
-                               name="DeconvBlock_2")
-        self.gru1 = ConvGRUCell(b, name="ConvGRUCell_3")
+                               dtype=dt, name="DeconvBlock_2")
+        self.gru1 = ConvGRUCell(b, dtype=dt, name="ConvGRUCell_3")
         self.head = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True,
-                            name="Conv_0")
+                            dtype=dt, name="Conv_0")
 
     def encode(self, cost: jnp.ndarray):
         """Recurrence-independent encoder pyramid of one (or many) planes."""
@@ -135,18 +138,19 @@ class REDStep(nn.Module):
 class REDRegularizer(nn.Module):
     """Full-volume form: (B, D, H, W, C) variance volume → (B, D, H, W) logits.
 
-    fused=True (inference on TPU): each scale's ConvGRU depth recurrence runs
-    as ONE Pallas kernel with the hidden state resident in VMEM
-    (ops/pallas/red_recur.py) instead of an XLA lax.scan — the kernel has no
-    VJP, so training uses the scan.
+    fused=True (TPU): each scale's ConvGRU depth recurrence runs as ONE
+    Pallas kernel with the hidden state resident in VMEM
+    (ops/pallas/red_recur.py) instead of an XLA lax.scan; the kernel has a
+    custom VJP (reverse-grid adjoint), so training uses it too.
     """
 
     base_channels: int = 8
+    dtype: object = None  # compute dtype of the hoisted encoder/decoder convs
 
     @nn.compact
     def __call__(self, volume: jnp.ndarray, fused: bool = False) -> jnp.ndarray:
         batch, d, height, width, cin = volume.shape
-        step = REDStep(self.base_channels, name="ScanREDStep_0")
+        step = REDStep(self.base_channels, dtype=self.dtype, name="ScanREDStep_0")
 
         # hoisted encoder: one batched pass over all planes (large MXU-
         # friendly convs instead of D sequential ones)
@@ -155,8 +159,8 @@ class REDRegularizer(nn.Module):
 
         if fused and not self.is_initializing():
             # GRU input contributions for all planes too (the fused kernels
-            # consume xc directly)
-            xcs = step.x_contribs(*pyr)
+            # consume xc directly, in fp32)
+            xcs = [t.astype(jnp.float32) for t in step.x_contribs(*pyr)]
             enc = tuple(t.reshape(batch, d, *t.shape[1:]) for t in xcs)
             from ..ops.pallas.red_recur import cell_params_matrices, red_recur
 
@@ -170,7 +174,7 @@ class REDRegularizer(nn.Module):
             )
             flat_rs = [r.reshape(batch * d, *r.shape[2:]) for r in rs]
             # decoder: batched over all planes at once
-            logits = step.decode(*flat_rs)
+            logits = step.decode(*flat_rs).astype(jnp.float32)
             return logits.reshape(batch, d, height, width)
 
         # scan path (training + CPU): streams the raw encoder pyramid
@@ -190,4 +194,4 @@ class REDRegularizer(nn.Module):
             out_axes=1,
         )
         _, logits = scanned(step, states, enc)
-        return logits
+        return logits.astype(jnp.float32)

@@ -74,6 +74,7 @@ class _TileGeom:
         # choosing the base so border tiles still cover their valid points)
         big = jnp.int32(10**9)
         valid_any = (x0 >= -1) & (x0 <= width - 1) & (y0 >= -1) & (y0 <= height - 1)
+        self.valid_any = valid_any
         col_base = jnp.min(jnp.where(valid_any, rel_x, big))
         row_base = jnp.min(jnp.where(valid_any, rel_y, big))
         col_base = jnp.where(col_base == big, 0, col_base)
@@ -122,6 +123,29 @@ class _TileGeom:
             + jnp.where((self.ds_idx + 1 == ds) & self.vx1, self.fx, 0.0)
         ).astype(jnp.float32)
 
+    def covered_by(self, fkv: int, fks: int):
+        """Scalar predicate: every in-image sample's taps fall inside the
+        narrower (fkv+1)×(fks+1) grid — i.e. the fast tap loop is exact for
+        this tile.  (Out-of-image points have zero weights either way.)"""
+        z = jnp.int32(0)
+        max_dv = jnp.max(jnp.where(self.valid_any, self.dv_idx, z))
+        max_ds = jnp.max(jnp.where(self.valid_any, self.ds_idx, z))
+        return (max_dv + 1 <= fkv) & (max_ds + 1 <= fks)
+
+
+FAST_STENCIL = 4  # tap half-width of the in-kernel fast path
+
+
+def _gather_taps(geom, patch, out_ref, *, kv, ks, bh, channels, width):
+    acc = jnp.zeros((bh, channels, width), jnp.float32)
+    for dv in range(kv + 1):
+        wv = geom.wv(dv)
+        for ds in range(ks + 1):
+            w = wv * geom.wh(ds)                      # (BH, W)
+            cols = patch[dv : dv + bh, :, ds : ds + width]
+            acc = acc + w[:, None, :] * cols
+    out_ref[0] = acc
+
 
 def _sweep_gather_kernel(
     x_ref, y_ref, src_hbm, out_ref, patch_ref, sem,
@@ -148,14 +172,23 @@ def _sweep_gather_kernel(
     # miscompute silently) — roll left by rc via a right-roll of wpp − rc.
     patch = pltpu.roll(patch, wpp - rc, 2)
 
-    acc = jnp.zeros((bh, channels, width), jnp.float32)
-    for dv in range(kv + 1):
-        wv = geom.wv(dv)
-        for ds in range(ks + 1):
-            w = wv * geom.wh(ds)                      # (BH, W)
-            cols = patch[dv : dv + bh, :, ds : ds + width]
-            acc = acc + w[:, None, :] * cols
-    out_ref[0] = acc
+    kw = dict(bh=bh, channels=channels, width=width)
+    if kv <= FAST_STENCIL and ks <= FAST_STENCIL:
+        _gather_taps(geom, patch, out_ref, kv=kv, ks=ks, **kw)
+    else:
+        # dual path: most tiles' taps fit the (FAST+1)² grid (the warp is
+        # smooth); only outlier tiles pay the full (kv+1)(ks+1) loop — branch
+        # measured per tile, so the result is exactly the slow loop's.
+        fast = geom.covered_by(FAST_STENCIL, FAST_STENCIL)
+
+        @pl.when(fast)
+        def _():
+            _gather_taps(geom, patch, out_ref,
+                         kv=FAST_STENCIL, ks=FAST_STENCIL, **kw)
+
+        @pl.when(jnp.logical_not(fast))
+        def _():
+            _gather_taps(geom, patch, out_ref, kv=kv, ks=ks, **kw)
 
 
 def _sweep_gather_impl(src: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
@@ -235,13 +268,31 @@ def _sweep_scatter_kernel(
 
     # stage the tile's tap contributions in window coordinates
     win_ref[...] = jnp.zeros_like(win_ref)
-    for dv in range(kv + 1):
-        wv = geom.wv(dv)
-        for ds in range(ks + 1):
-            w = wv * geom.wh(ds)                      # (BH, W)
-            win_ref[dv : dv + bh, :, ds : ds + width] = (
-                win_ref[dv : dv + bh, :, ds : ds + width] + w[:, None, :] * g
-            )
+
+    def stage(kv_, ks_):
+        for dv in range(kv_ + 1):
+            wv = geom.wv(dv)
+            for ds in range(ks_ + 1):
+                w = wv * geom.wh(ds)                  # (BH, W)
+                win_ref[dv : dv + bh, :, ds : ds + width] = (
+                    win_ref[dv : dv + bh, :, ds : ds + width] + w[:, None, :] * g
+                )
+
+    if kv <= FAST_STENCIL and ks <= FAST_STENCIL:
+        stage(kv, ks)
+    else:
+        # same per-tile fast/slow branch as the gather forward — the staged
+        # taps are the exact transpose of whichever loop the forward ran
+        # (covered_by is a pure function of the coordinates both share)
+        fast = geom.covered_by(FAST_STENCIL, FAST_STENCIL)
+
+        @pl.when(fast)
+        def _():
+            stage(FAST_STENCIL, FAST_STENCIL)
+
+        @pl.when(jnp.logical_not(fast))
+        def _():
+            stage(kv, ks)
 
     # forward read the window left-rolled by rc; the transpose rolls the
     # contribution right by rc before adding at the 128-aligned base

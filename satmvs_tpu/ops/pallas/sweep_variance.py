@@ -26,53 +26,34 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .sweep_gather import BLOCK_ROWS, PAD, VPAD, _round_up
+from .sweep_gather import (
+    BLOCK_ROWS, FAST_STENCIL, PAD, VPAD, _TileGeom, _round_up,
+)
 
 
 def _sweep_variance_kernel(
-    x_ref, y_ref, ref_tile, srcs_hbm, out_ref, patch_ref, sems,
+    x_ref, y_ref, ref_tile, srcs_hbm, out_ref, patch_ref, warped_ref, sems,
     *, kv: int, ks: int, height: int, width: int, channels: int, n_src: int,
 ):
     bh = BLOCK_ROWS
     t = pl.program_id(1)
     tile_row0 = t * bh
     kh = bh + kv
-    wp = width + ks
-    wpp = _round_up(wp + 128, 128)
-    h_tot = height + 2 * VPAD
-    w_tot = width + 2 * PAD
-
-    jj = jax.lax.broadcasted_iota(jnp.int32, (bh, width), 1)
-    ii = jax.lax.broadcasted_iota(jnp.int32, (bh, width), 0)
-    big = jnp.int32(10**9)
+    wpp = _round_up(width + ks + 128, 128)
 
     # ---- per-view window placement + DMA launch (overlapped across views)
-    placements = []
+    geoms = []
     for s in range(n_src):
-        x = x_ref[s, 0]
-        y = y_ref[s, 0]
-        x0 = jnp.floor(x).astype(jnp.int32)
-        y0 = jnp.floor(y).astype(jnp.int32)
-        rel_x = x0 - jj
-        rel_y = y0 - (ii + tile_row0)
-        valid_any = (x0 >= -1) & (x0 <= width - 1) & (y0 >= -1) & (y0 <= height - 1)
-        col_base = jnp.min(jnp.where(valid_any, rel_x, big))
-        row_base = jnp.min(jnp.where(valid_any, rel_y, big))
-        col_base = jnp.where(col_base == big, 0, col_base)
-        row_base = jnp.where(row_base == big, 0, row_base)
-        row_start = jnp.clip(tile_row0 + row_base + VPAD, 0, h_tot - kh)
-        col_start = jnp.clip(col_base + PAD, 0, w_tot - wp)
-        col_start128 = pl.multiple_of(
-            jnp.clip((col_start // 128) * 128, 0, w_tot - wpp), 128
-        )
+        geom = _TileGeom(x_ref[s, 0], y_ref[s, 0], tile_row0,
+                         kv=kv, ks=ks, height=height, width=width)
         dma = pltpu.make_async_copy(
-            srcs_hbm.at[s, pl.ds(row_start, kh), :, pl.ds(col_start128, wpp)],
+            srcs_hbm.at[s, pl.ds(geom.row_start, kh), :,
+                        pl.ds(geom.col_start128, wpp)],
             patch_ref.at[s],
             sems.at[s],
         )
         dma.start()
-        placements.append((dma, x, y, x0, y0, rel_x, rel_y, row_start, col_start,
-                           col_start - col_start128))
+        geoms.append((dma, geom))
 
     # ---- moments, seeded with the reference view's tile
     rt = ref_tile[:]                               # (BH, C, W)
@@ -80,33 +61,37 @@ def _sweep_variance_kernel(
     acc_sq = (rt * rt).astype(jnp.float32)
 
     for s in range(n_src):
-        (dma, x, y, x0, y0, rel_x, rel_y, row_start, col_start, rc) = placements[s]
-        fx = x - jnp.floor(x)
-        fy = y - jnp.floor(y)
-        dv_idx = rel_y - (row_start - VPAD - tile_row0)
-        ds_idx = rel_x - (col_start - PAD)
-        vx0 = (x0 >= 0) & (x0 <= width - 1)
-        vx1 = (x0 + 1 >= 0) & (x0 + 1 <= width - 1)
-        vy0 = (y0 >= 0) & (y0 <= height - 1)
-        vy1 = (y0 + 1 >= 0) & (y0 + 1 <= height - 1)
-
+        dma, geom = geoms[s]
         dma.wait()
         patch = patch_ref[s]
-        patch = pltpu.roll(patch, wpp - rc, 2)
+        patch = pltpu.roll(patch, wpp - geom.rc, 2)
 
-        warped = jnp.zeros((bh, channels, width), jnp.float32)
-        for dv in range(kv + 1):
-            wv = (
-                jnp.where((dv_idx == dv) & vy0, 1.0 - fy, 0.0)
-                + jnp.where((dv_idx + 1 == dv) & vy1, fy, 0.0)
-            ).astype(jnp.float32)
-            for ds in range(ks + 1):
-                wh = (
-                    jnp.where((ds_idx == ds) & vx0, 1.0 - fx, 0.0)
-                    + jnp.where((ds_idx + 1 == ds) & vx1, fx, 0.0)
-                ).astype(jnp.float32)
-                w = wv * wh
-                warped = warped + w[:, None, :] * patch[dv : dv + bh, :, ds : ds + width]
+        def taps(kv_, ks_):
+            acc = jnp.zeros((bh, channels, width), jnp.float32)
+            for dv in range(kv_ + 1):
+                wv = geom.wv(dv)
+                for ds in range(ks_ + 1):
+                    w = wv * geom.wh(ds)
+                    acc = acc + w[:, None, :] * patch[dv : dv + bh, :,
+                                                      ds : ds + width]
+            return acc
+
+        if kv <= FAST_STENCIL and ks <= FAST_STENCIL:
+            warped = taps(kv, ks)
+        else:
+            # per-tile fast/slow tap branch (see sweep_gather.py): values
+            # can't cross pl.when, so the branches meet in a VMEM scratch
+            fast = geom.covered_by(FAST_STENCIL, FAST_STENCIL)
+
+            @pl.when(fast)
+            def _():
+                warped_ref[...] = taps(FAST_STENCIL, FAST_STENCIL)
+
+            @pl.when(jnp.logical_not(fast))
+            def _():
+                warped_ref[...] = taps(kv, ks)
+
+            warped = warped_ref[...]
         acc_sum = acc_sum + warped
         acc_sq = acc_sq + warped * warped
 
@@ -161,6 +146,7 @@ def _sweep_variance_impl(ref: jnp.ndarray, srcs: jnp.ndarray, xs: jnp.ndarray, y
                 (n_src, BLOCK_ROWS + kv, c, _round_up(w + ks + 128, 128)),
                 jnp.float32,
             ),
+            pltpu.VMEM((BLOCK_ROWS, c, w), jnp.float32),
             pltpu.SemaphoreType.DMA((n_src,)),
         ],
         interpret=interpret,

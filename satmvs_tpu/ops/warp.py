@@ -158,7 +158,7 @@ def _use_pallas_gather(height: int) -> bool:
 
 
 def rpc_warp(src_feat: jnp.ndarray, cams: RpcWarpCams, src_index, depth_values: jnp.ndarray,
-             method: str = "auto", coords: str = "auto"):
+             method: str = "auto", coords: str = "auto", stencil: int = 8):
     """RPC plane-sweep warp of one source feature map.
 
     src_feat: (H, W, C) — the source view's features at this stage's scale.
@@ -167,6 +167,9 @@ def rpc_warp(src_feat: jnp.ndarray, cams: RpcWarpCams, src_index, depth_values: 
             "pallas", or "xla".
     coords: "auto" (coarse-grid projection on TPU — < 0.02 px vs exact, see
             ops/coarse_coords.py — exact elsewhere), "coarse", or "exact".
+    stencil: tap half-width of the Pallas gather (and its scatter adjoint);
+            4 is ~2x faster than 8 and exact whenever
+            `sweep_coverage_misses(..., stencil=4)` is all-zero.
     Returns (D, H, W, C).  TPU analog of /root/reference/modules/warping.py:310-365.
     """
     h, w, _ = src_feat.shape
@@ -184,7 +187,7 @@ def rpc_warp(src_feat: jnp.ndarray, cams: RpcWarpCams, src_index, depth_values: 
     if method == "pallas" or (method == "auto" and _use_pallas_gather(h)):
         from .pallas.sweep_gather import sweep_gather
 
-        return sweep_gather(src_feat, x_src, y_src)
+        return sweep_gather(src_feat, x_src, y_src, kv=stencil, ks=stencil)
     return bilinear_sample(src_feat, x_src, y_src)
 
 
@@ -296,7 +299,7 @@ def homo_sweep_coords(src_proj: jnp.ndarray, ref_proj: jnp.ndarray, depth_values
 
 
 def homo_warp(src_feat: jnp.ndarray, src_proj: jnp.ndarray, ref_proj: jnp.ndarray, depth_values: jnp.ndarray,
-              method: str = "auto"):
+              method: str = "auto", stencil: int = 8):
     """Homography plane-sweep warp: (H, W, C) → (D, H, W, C)."""
     h, w, _ = src_feat.shape
     x_src, y_src = jax.lax.stop_gradient(
@@ -305,7 +308,7 @@ def homo_warp(src_feat: jnp.ndarray, src_proj: jnp.ndarray, ref_proj: jnp.ndarra
     if method == "pallas" or (method == "auto" and _use_pallas_gather(h)):
         from .pallas.sweep_gather import sweep_gather
 
-        return sweep_gather(src_feat, x_src, y_src)
+        return sweep_gather(src_feat, x_src, y_src, kv=stencil, ks=stencil)
     return bilinear_sample(src_feat, x_src, y_src)
 
 

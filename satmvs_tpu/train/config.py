@@ -35,6 +35,11 @@ class Config:
     lamb: float = 1.5
     dlossw: Sequence[float] = (0.5, 1.0, 2.0)
     cr_base_chs: Sequence[int] = (8, 8, 8)
+    # Pallas sweep tap stencil: 0 = auto (4 when the scene geometry passes
+    # sweep_coverage_misses at 4, else 8); explicit 4/8 forces a width.
+    sweep_stencil: int = 0
+    # Conv compute dtype ("float32" | "bfloat16"); params/geometry stay fp32.
+    compute_dtype: str = "float32"
 
     # optimization
     epochs: int = 30
@@ -78,6 +83,10 @@ class Config:
         p.add_argument("--lamb", type=float, default=d.lamb)
         p.add_argument("--dlossw", default="0.5,1.0,2.0")
         p.add_argument("--cr_base_chs", default="8,8,8")
+        p.add_argument("--sweep_stencil", type=int, default=d.sweep_stencil,
+                       choices=[0, 4, 8])
+        p.add_argument("--compute_dtype", default=d.compute_dtype,
+                       choices=["float32", "bfloat16"])
         p.add_argument("--epochs", type=int, default=d.epochs)
         p.add_argument("--lr", type=float, default=d.lr)
         p.add_argument("--lrepochs", default="10,12,14:2")
@@ -101,6 +110,8 @@ class Config:
             lamb=a.lamb,
             dlossw=tuple(float(x) for x in a.dlossw.split(",") if x),
             cr_base_chs=tuple(int(x) for x in a.cr_base_chs.split(",") if x),
+            sweep_stencil=a.sweep_stencil,
+            compute_dtype=a.compute_dtype,
             epochs=a.epochs, lr=a.lr,
             lr_milestones=tuple(int(x) for x in milestones_str.split(",") if x),
             lr_gamma=1.0 / float(gamma_str),

@@ -48,6 +48,30 @@ def numeric_batch(batch: dict) -> dict:
     return {k: v for k, v in batch.items() if k not in ("out_view", "out_name")}
 
 
+def resolve_sweep_stencil(cfg: Config, sample_batch: dict) -> int:
+    """Pallas sweep tap width for this run: cfg.sweep_stencil, or when 0
+    (auto) the narrow 4-stencil iff the sample's camera geometry passes the
+    coverage gate (ops.warp.sweep_coverage_misses_from_cams) — ~2x faster
+    gathers/scatters; falls back to the always-safe 8 otherwise."""
+    if cfg.sweep_stencil:
+        return cfg.sweep_stencil
+    if cfg.geo_model != "rpc" or jax.default_backend() != "tpu":
+        return 8
+    try:
+        from ..ops.warp import sweep_coverage_misses_from_cams
+
+        nb = numeric_batch(sample_batch)
+        cams0 = jax.tree.map(lambda x: jnp.asarray(x)[0], nb["cams"])
+        _, _, h, w, _ = nb["imgs"].shape
+        dv = jnp.asarray(nb["depth_values"])[0]
+        misses = sweep_coverage_misses_from_cams(
+            cams0, h, w, (float(dv[0]), float(dv[-1])), stencil=4
+        )
+        return 4 if sum(misses.values()) == 0 else 8
+    except Exception:
+        return 8
+
+
 def create_model_and_state(cfg: Config, sample_batch: dict, steps_per_epoch: int,
                            rng: Optional[jax.Array] = None):
     """Build the configured model and initialize TrainState from one batch."""
@@ -55,6 +79,8 @@ def create_model_and_state(cfg: Config, sample_batch: dict, steps_per_epoch: int
         cfg.model, cfg.geo_model,
         ndepths=tuple(cfg.ndepths),
         cr_base_chs=tuple(cfg.cr_base_chs),
+        sweep_stencil=resolve_sweep_stencil(cfg, sample_batch),
+        compute_dtype=(jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None),
         **({"min_interval": cfg.min_interval,
             "depth_intervals_ratio": tuple(cfg.depth_inter_r)}
            if cfg.model in ("red", "casmvs") else {"lamb": cfg.lamb}),

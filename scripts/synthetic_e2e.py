@@ -39,6 +39,8 @@ def main() -> None:
     p.add_argument("--size", type=int, default=128)
     p.add_argument("--ndepths", default="32,16,8")
     p.add_argument("--workdir", default=None)
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"])
     a = p.parse_args()
 
     import numpy as np
@@ -71,6 +73,7 @@ def main() -> None:
         min_interval=2.5, epochs=a.epochs, lr=1e-3,
         lr_milestones=(max(a.epochs // 2, 1), max(3 * a.epochs // 4, 2)),
         summary_freq=20, save_freq=max(a.epochs, 1),
+        compute_dtype=a.compute_dtype,
     )
     tl = Loader(MVSDataset(troot, "train", 3, 2), 1, shuffle=True, seed=0)
     el = Loader(MVSDataset(eroot, "test", 3, 2), 1)

@@ -235,3 +235,75 @@ def test_red_recur_gradient_matches_scan():
             np.asarray(a), np.asarray(b), atol=3e-4, rtol=1e-3,
             err_msg=f"streamed {name}",
         )
+
+
+def test_sweep_gather_stencil4_exact_and_grad():
+    """The narrow 25-tap stencil the training path auto-selects
+    (train/loop.resolve_sweep_stencil): forward bit-exactness vs the XLA
+    bilinear path and adjoint-exact backward at kv=ks=4 on a geometry that
+    passes the stencil-4 coverage gate."""
+    H, W, C, D = 32, 64, 8, 4
+    rng = np.random.default_rng(3)
+    src = jnp.asarray(rng.normal(size=(H, W, C)).astype(np.float32))
+    jj, ii = np.meshgrid(np.arange(W, dtype=np.float32),
+                         np.arange(H, dtype=np.float32))
+    xs = jnp.asarray(np.stack([jj + 1.3 * d - 2 + 0.004 * ii for d in range(D)],
+                              dtype=np.float32))
+    ys = jnp.asarray(np.stack([ii + 0.7 * d - 1 + 0.002 * jj for d in range(D)],
+                              dtype=np.float32))
+    assert int(sg.count_misses(xs, ys, H, W, 4, 4).sum()) == 0
+
+    out = sg.sweep_gather(src, xs, ys, 4, 4, True)
+    ref = jnp.stack([bilinear_sample(src, xs[d], ys[d]) for d in range(D)])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    g_pal = jax.grad(
+        lambda s: jnp.sum(jnp.sin(sg.sweep_gather(s, xs, ys, 4, 4, True)))
+    )(src)
+    g_xla = jax.grad(
+        lambda s: jnp.sum(jnp.sin(jax.vmap(lambda x, y: bilinear_sample(s, x, y))(xs, ys)))
+    )(src)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_xla), atol=1e-5)
+
+
+def test_resolve_sweep_stencil_auto():
+    """Auto mode: explicit values pass through; non-TPU backends resolve to
+    the safe 8."""
+    from satmvs_tpu.train.config import Config
+    from satmvs_tpu.train.loop import resolve_sweep_stencil
+
+    batch = synthetic.make_batch(batch_size=1, width=128, height=128, seed=0)
+    assert resolve_sweep_stencil(Config(sweep_stencil=4), batch) == 4
+    assert resolve_sweep_stencil(Config(sweep_stencil=8), batch) == 8
+    # CPU test backend: auto falls back to 8 without touching the validator
+    assert resolve_sweep_stencil(Config(sweep_stencil=0), batch) == 8
+
+
+def test_sweep_gather_dual_path_mixed_tiles():
+    """Tiles whose taps exceed the fast 25-tap grid take the slow in-kernel
+    branch; result must equal the XLA bilinear path on every tile (coverage
+    at the compile-time stencil 8 still holds)."""
+    H, W, C, D = 32, 64, 8, 3
+    rng = np.random.default_rng(7)
+    src = jnp.asarray(rng.normal(size=(H, W, C)).astype(np.float32))
+    jj, ii = np.meshgrid(np.arange(W, dtype=np.float32),
+                         np.arange(H, dtype=np.float32))
+    # rows 0-7 drift 6 px across the tile width (slow path); rows 8+ smooth
+    drift = np.where(ii < 8, 6.0 * jj / (W - 1), 0.02 * jj / (W - 1))
+    xs = np.stack([jj + 1.5 * d - 3 + drift for d in range(D)], dtype=np.float32)
+    ys = np.stack([ii + 0.5 * d - 1 + 0.3 * np.where(ii < 8, jj / (W - 1), 0.0)
+                   for d in range(D)], dtype=np.float32)
+    xs, ys = jnp.asarray(xs), jnp.asarray(ys)
+    assert int(sg.count_misses(xs, ys, H, W, 8, 8).sum()) == 0
+    assert int(sg.count_misses(xs, ys, H, W, 4, 4).sum()) > 0  # forces slow tiles
+
+    out = sg.sweep_gather(src, xs, ys, 8, 8, True)
+    ref = jnp.stack([bilinear_sample(src, xs[d], ys[d]) for d in range(D)])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    # scatter transpose stays exact through the same mixed branches
+    # (elementwise vs the XLA scatter-add; fp32 summation-order tolerance)
+    g = jnp.asarray(rng.normal(size=(D, H, W, C)).astype(np.float32))
+    dsrc = sg._sweep_scatter_impl(g, xs, ys, H, W, 8, 8, True)
+    dref = sg._bilinear_scatter(g, xs, ys, H, W)
+    np.testing.assert_allclose(np.asarray(dsrc), np.asarray(dref), atol=2e-5)
