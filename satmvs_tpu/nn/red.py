@@ -158,10 +158,13 @@ class REDRegularizer(nn.Module):
         pyr = step.encode(flat)
 
         if fused and not self.is_initializing():
-            # GRU input contributions for all planes too (the fused kernels
-            # consume xc directly, in fp32)
-            xcs = [t.astype(jnp.float32) for t in step.x_contribs(*pyr)]
-            enc = tuple(t.reshape(batch, d, *t.shape[1:]) for t in xcs)
+            # the fused kernels consume the raw per-scale encoder outputs and
+            # compute the cells' input conv (x_contrib) in-kernel — only the
+            # C-channel x crosses the NHWC → W-in-lanes layout boundary
+            enc = tuple(
+                t.astype(jnp.float32).reshape(batch, d, *t.shape[1:])
+                for t in pyr
+            )
             from ..ops.pallas.red_recur import cell_params_matrices, red_recur
 
             cells = self.variables["params"]["ScanREDStep_0"]
@@ -169,8 +172,8 @@ class REDRegularizer(nn.Module):
             mats = [cell_params_matrices(cells[f"ConvGRUCell_{k}"])
                     for k in (3, 2, 1, 0)]
             rs = tuple(
-                jnp.stack([red_recur(xc[b], *m) for b in range(batch)])
-                for xc, m in zip(enc, mats)
+                jnp.stack([red_recur(x[b], *m) for b in range(batch)])
+                for x, m in zip(enc, mats)
             )
             flat_rs = [r.reshape(batch * d, *r.shape[2:]) for r in rs]
             # decoder: batched over all planes at once

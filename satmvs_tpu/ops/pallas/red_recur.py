@@ -8,14 +8,18 @@ copies; here the ENTIRE D-plane recurrence of one scale runs as ONE kernel:
 grid=(D,) iterates planes sequentially (TPU grid steps are ordered), the
 hidden state lives in VMEM scratch across grid steps, and each step computes
 
-    g = conv3x3(h, Wh) + xc_g + bh              (im2col matmul on the MXU)
+    xc = conv3x3(x, Wx)                         (the cell-input conv)
+    g = conv3x3(h, Wh) + xc[..2C] + bh          (im2col matmuls on the MXU)
     r = sigmoid(GN(g[..C]));  u = sigmoid(GN(g[C..]))
-    y = tanh(GN(conv3x3(r*h, Wc) + xc_c + bc))
+    y = tanh(GN(conv3x3(r*h, Wc) + xc[2C..] + bc))
     h = u*h + (1-u)*y                           (== the plane's output)
 
-where xc = [xc_g | xc_c] are the hoisted per-plane input contributions (the
-x-halves of the cell's concat-convs, precomputed for ALL planes in one large
-batched conv — see nn/blocks.ConvGRUCell.x_contrib).
+where x is the scale's raw encoder output.  The input conv runs IN-KERNEL
+(it used to be a hoisted XLA batched conv): an NHWC conv at C≈8-64 puts the
+channels into the 128-wide lane dimension (up to 16x wasted bandwidth), and
+the NHWC → row-packed transpose of its 3C-channel output cost more than the
+conv itself — consuming the C-channel x instead cuts both 3x and keeps all
+conv math in the dense W-in-lanes layout.
 
 GroupNorm(num_groups=1) normalizes over the WHOLE (H, W, C) plane, which is
 why the plane stays resident: v5e-class VMEM (~128 MB usable, probed) fits
@@ -65,9 +69,9 @@ def _pack_rows(height: int, width: int) -> int:
 
 
 def _red_recur_kernel(
-    xc_ref, wg_ref, bg_ref, wc_ref, bc_ref, gn_ref, out_ref,
-    h_ref, pad_ref, g_ref, rhs_ref,
-    *, c: int, height: int, width: int, r: int,
+    x_ref, wx_ref, wg_ref, bg_ref, wc_ref, bc_ref, gn_ref, out_ref,
+    h_ref, pad_ref, padx_ref, g_ref, xc_ref, rhs_ref,
+    *, c: int, cin: int, height: int, width: int, r: int,
 ):
     d = pl.program_id(0)
     p_cnt = height // r
@@ -79,26 +83,50 @@ def _red_recur_kernel(
         # zero state; pad borders AND center stay zero (center == h == 0)
         h_ref[...] = jnp.zeros_like(h_ref)
         pad_ref[...] = jnp.zeros_like(pad_ref)
+        padx_ref[...] = jnp.zeros_like(padx_ref)
 
-    def build_rhs(p):
-        """im2col patch of pad rows [p*r, p*r+r): (9C, R*W), tap-major K."""
+    def build_rhs(pad, p, ch=c):
+        """im2col patch of pad rows [p*r, p*r+r): (9·ch, R*W), tap-major K."""
         for dy in range(3):
             for dx in range(3):
                 t = dy * 3 + dx
                 for s in range(r):
-                    slab = pad_ref[pl.ds(p * r + s + dy, 1), :, dx : dx + width]
-                    rhs_ref[t * c : (t + 1) * c, s * width : (s + 1) * width] = (
-                        slab.reshape(c, width)
+                    slab = pad[pl.ds(p * r + s + dy, 1), :, dx : dx + width]
+                    rhs_ref[t * ch : (t + 1) * ch, s * width : (s + 1) * width] = (
+                        slab.reshape(ch, width)
                     )
 
     def gn_vec(k):
         return gn_ref[k].reshape(c, 1)
 
+    # ---- x-side conv (the cell's hoisted input contribution), in-kernel:
+    # xc = Wx @ im2col(x) for all 3C outputs of this plane.  Computing it
+    # here (instead of an XLA conv) keeps the whole x path in the dense
+    # W-in-lanes layout — NHWC with C≈8 wastes 16x lane bandwidth, and the
+    # NHWC → row-packed transpose itself cost more than the conv.
+    def stage_x(p, _):
+        for s in range(r):
+            padx_ref[pl.ds(p * r + s + 1, 1), :, 1 : width + 1] = (
+                x_ref[0, p][:, s * width : (s + 1) * width].reshape(1, cin, width)
+            )
+        return 0
+
+    jax.lax.fori_loop(0, p_cnt, stage_x, 0)
+
+    def xc_body(p, _):
+        build_rhs(padx_ref, p, cin)
+        xc_ref[p] = jnp.dot(wx_ref[...], rhs_ref[: 9 * cin],
+                            preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, p_cnt, xc_body, 0)
+
     # ---- gates conv: g = Wg @ im2col(h) + xc_g + bg
     def gates_body(p, _):
-        build_rhs(p)
-        g = jnp.dot(wg_ref[...], rhs_ref[...], preferred_element_type=jnp.float32)
-        g_ref[p] = g + xc_ref[0, p, : 2 * c, :] + bg_ref[...]
+        build_rhs(pad_ref, p)
+        g = jnp.dot(wg_ref[...], rhs_ref[: 9 * c],
+                    preferred_element_type=jnp.float32)
+        g_ref[p] = g + xc_ref[p, : 2 * c, :] + bg_ref[...]
         return 0
 
     jax.lax.fori_loop(0, p_cnt, gates_body, 0)
@@ -137,9 +165,10 @@ def _red_recur_kernel(
 
     # ---- candidate conv (reuses the dead r-half of g as storage)
     def cand_body(p, acc):
-        build_rhs(p)
-        y = jnp.dot(wc_ref[...], rhs_ref[...], preferred_element_type=jnp.float32)
-        y = y + xc_ref[0, p, 2 * c :, :] + bc_ref[...]
+        build_rhs(pad_ref, p)
+        y = jnp.dot(wc_ref[...], rhs_ref[: 9 * c],
+                    preferred_element_type=jnp.float32)
+        y = y + xc_ref[p, 2 * c :, :] + bc_ref[...]
         g_ref[p, :c, :] = y
         return acc + jnp.sum(y)
 
@@ -170,8 +199,19 @@ def _red_recur_kernel(
     jax.lax.fori_loop(0, p_cnt, blend_body, 0)
 
 
+def _pack_nhwc(t: jnp.ndarray, ch: int, p_cnt: int, r: int, width: int):
+    """(D, H, W, ch) NHWC → row-packed (D, P, ch, R·W)."""
+    d = t.shape[0]
+    return (
+        t.reshape(d, p_cnt, r, width, ch)
+        .transpose(0, 1, 4, 2, 3)
+        .reshape(d, p_cnt, ch, r * width)
+    )
+
+
 def _red_recur_impl(
-    xc: jnp.ndarray,
+    x: jnp.ndarray,
+    wx: jnp.ndarray,
     wh: jnp.ndarray,
     bh: jnp.ndarray,
     wc: jnp.ndarray,
@@ -179,33 +219,32 @@ def _red_recur_impl(
     gn: jnp.ndarray,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    d, height, width, c3 = xc.shape
-    c = c3 // 3
+    d, height, width, cin = x.shape
+    c = wx.shape[-1] // 3
     r = _pack_rows(height, width)
     p_cnt = height // r
 
-    # NHWC → row-packed (D, P, 3C, R·W)
-    xc_packed = (
-        xc.reshape(d, p_cnt, r, width, 3 * c)
-        .transpose(0, 1, 4, 2, 3)
-        .reshape(d, p_cnt, 3 * c, r * width)
-    )
-    # tap-major (Cout, 9C) weight matrices
+    # NHWC → row-packed (D, P, Cin, R·W) — only the cell input x crosses the
+    # layout boundary; the 3C input contribution is computed in-kernel
+    x_packed = _pack_nhwc(x, cin, p_cnt, r, width)
+    # tap-major (Cout, 9·Cin) weight matrices
+    wx_mat = wx.reshape(9 * cin, 3 * c).T
     wg_mat = wh.reshape(9 * c, 2 * c).T
     wc_mat = wc.reshape(9 * c, c).T
 
     kernel = functools.partial(
-        _red_recur_kernel, c=c, height=height, width=width, r=r
+        _red_recur_kernel, c=c, cin=cin, height=height, width=width, r=r
     )
     out = pl.pallas_call(
         kernel,
         grid=(d,),
         in_specs=[
             pl.BlockSpec(
-                (1, p_cnt, 3 * c, r * width),
+                (1, p_cnt, cin, r * width),
                 lambda di: (di, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -220,9 +259,11 @@ def _red_recur_impl(
         out_shape=jax.ShapeDtypeStruct((d, p_cnt, c, r * width), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((p_cnt, c, r * width), jnp.float32),        # h state
-            pltpu.VMEM((height + 2, c, width + 2), jnp.float32),   # conv stage
+            pltpu.VMEM((height + 2, c, width + 2), jnp.float32),   # h/m stage
+            pltpu.VMEM((height + 2, cin, width + 2), jnp.float32),  # x stage
             pltpu.VMEM((p_cnt, 2 * c, r * width), jnp.float32),    # raw gates
-            pltpu.VMEM((9 * c, r * width), jnp.float32),           # im2col patch
+            pltpu.VMEM((p_cnt, 3 * c, r * width), jnp.float32),    # xc
+            pltpu.VMEM((9 * max(c, cin), r * width), jnp.float32),  # im2col
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -230,7 +271,8 @@ def _red_recur_impl(
         ),
         interpret=interpret,
     )(
-        xc_packed,
+        x_packed,
+        wx_mat,
         wg_mat,
         bh.reshape(2 * c, 1),
         wc_mat,
@@ -246,23 +288,27 @@ def _red_recur_impl(
 
 
 def _red_recur_bwd_kernel(
-    h_ref, xc_ref, gb_ref, wg_ref, bg_ref, wc_ref, bc_ref, gn_ref,
-    wgrT_ref, wguT_ref, wcT_ref,
-    dxc_ref, dwg_ref, dbg_ref, dwc_ref, dbc_ref, dgn_ref,
-    dh_ref, dhn_ref, gates_ref, ylin_ref, tmp_ref, pada_ref, padb_ref, rhs_ref,
-    *, c: int, height: int, width: int, r: int,
+    h_ref, x_ref, gb_ref, wx_ref, wg_ref, bg_ref, wc_ref, bc_ref, gn_ref,
+    wgrT_ref, wguT_ref, wcT_ref, wxrT_ref, wxuT_ref, wxcT_ref,
+    dx_ref, dwx_ref, dwg_ref, dbg_ref, dwc_ref, dbc_ref, dgn_ref,
+    dh_ref, dhn_ref, gates_ref, ylin_ref, tmp_ref, pada_ref, padb_ref,
+    padx_ref, rhs_ref,
+    *, c: int, cin: int, height: int, width: int, r: int,
 ):
     """Adjoint of one RED scale's depth recurrence — reverse grid over planes.
 
     Per plane d (visited D−1 → 0): recompute the forward internals from the
     carried-in h_prev (= the forward's own output for plane d−1, an input
-    block) and xc, then run the exact adjoint chain in VMEM:
+    block) and x (the cell input — its conv contribution xc = Wx ⊛ x is
+    recomputed in-kernel, like the forward), then run the exact adjoint
+    chain in VMEM:
 
         dht = dh_carry + g_d
         du = dht(h_prev − y)σ'(u);  dy_lin = GN_yᵀ(dht(1−u)·tanh')
         dm = convᵀ(dy_lin, Wc);     dr = dm·h_prev
         dgates = [GN_rᵀ(dr·σ'(r)) | GN_uᵀ(du)]
         dh_prev = dht·u + dm·r + convᵀ(dgates, Wg)
+        dx = convᵀ(dgates, Wx_g) + convᵀ(dy_lin, Wx_c)
 
     Weight/bias/GN cotangents accumulate in VMEM-resident output blocks
     (constant BlockSpec index) and are written to HBM once at the end.
@@ -282,6 +328,8 @@ def _red_recur_bwd_kernel(
         dh_ref[...] = jnp.zeros_like(dh_ref)
         pada_ref[...] = jnp.zeros_like(pada_ref)
         padb_ref[...] = jnp.zeros_like(padb_ref)
+        padx_ref[...] = jnp.zeros_like(padx_ref)
+        dwx_ref[...] = jnp.zeros_like(dwx_ref)
         dwg_ref[...] = jnp.zeros_like(dwg_ref)
         dbg_ref[...] = jnp.zeros_like(dbg_ref)
         dwc_ref[...] = jnp.zeros_like(dwc_ref)
@@ -299,26 +347,32 @@ def _red_recur_bwd_kernel(
                     )
 
     def stage(pad_ref, p, buf):
-        """Write a (C, R·W) pack into pad rows (interior)."""
+        """Write a (ch, R·W) pack into pad rows (interior)."""
+        ch = buf.shape[0]
         for s in range(r):
             pad_ref[pl.ds(p * r + s + 1, 1), :, 1 : width + 1] = (
-                buf[:, s * width : (s + 1) * width].reshape(1, c, width)
+                buf[:, s * width : (s + 1) * width].reshape(1, ch, width)
             )
 
     def gn_vec(k):
         return gn_ref[k].reshape(c, 1)
 
     # ================= phase A: recompute forward internals ===============
-    def stage_h(p, _):
+    def stage_hx(p, _):
         stage(pada_ref, p, h_ref[0, p])
+        stage(padx_ref, p, x_ref[0, p])
         return 0
 
-    jax.lax.fori_loop(0, p_cnt, stage_h, 0)
+    jax.lax.fori_loop(0, p_cnt, stage_hx, 0)
 
     def gates_body(p, _):
         build_rhs(pada_ref, p, c)
-        g = jnp.dot(wg_ref[...], rhs_ref[...], preferred_element_type=jnp.float32)
-        gates_ref[p] = g + xc_ref[0, p, : 2 * c, :] + bg_ref[...]
+        g = jnp.dot(wg_ref[...], rhs_ref[: 9 * c],
+                    preferred_element_type=jnp.float32)
+        build_rhs(padx_ref, p, cin)
+        g = g + jnp.dot(wx_ref[: 2 * c], rhs_ref[: 9 * cin],
+                        preferred_element_type=jnp.float32)
+        gates_ref[p] = g + bg_ref[...]
         return 0
 
     jax.lax.fori_loop(0, p_cnt, gates_body, 0)
@@ -359,10 +413,13 @@ def _red_recur_bwd_kernel(
 
     def cand_body(p, acc):
         build_rhs(padb_ref, p, c)
-        y = jnp.dot(wc_ref[...], rhs_ref[...], preferred_element_type=jnp.float32)
-        y = y + xc_ref[0, p, 2 * c :, :] + bc_ref[...]
-        ylin_ref[p] = y
-        return acc + jnp.sum(y)
+        y = jnp.dot(wc_ref[...], rhs_ref[: 9 * c],
+                    preferred_element_type=jnp.float32)
+        build_rhs(padx_ref, p, cin)
+        y = y + jnp.dot(wx_ref[2 * c :], rhs_ref[: 9 * cin],
+                        preferred_element_type=jnp.float32)
+        ylin_ref[p] = y + bc_ref[...]
+        return acc + jnp.sum(ylin_ref[p])
 
     sy = jax.lax.fori_loop(0, p_cnt, cand_body, zero)
     mu_y = sy * inv_n
@@ -406,23 +463,27 @@ def _red_recur_bwd_kernel(
     m1y = s_dxn * inv_n
     m2y = s_dxx * inv_n
 
-    # pass B2: tmp ← dy_lin; dbc, dWc (rhs of m still in pad_b), dxc[2C:]
+    # pass B2: tmp ← dy_lin; dbc, dWc (rhs of m still in pad_b), dWx cand rows
     def b2(p, _):
         do = tmp_ref[p]
         dy_lin = (do * gn_vec(4) - m1y - xn_y(p) * m2y) * inv_y
         tmp_ref[p] = dy_lin
-        dxc_ref[0, p, 2 * c :, :] = dy_lin
         dbc_ref[...] = dbc_ref[...] + jnp.sum(dy_lin, axis=1, keepdims=True)
         build_rhs(padb_ref, p, c)
         dwc_ref[...] = dwc_ref[...] + jax.lax.dot_general(
-            dy_lin, rhs_ref[...], (((1,), (1,)), ((), ())),
+            dy_lin, rhs_ref[: 9 * c], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        build_rhs(padx_ref, p, cin)
+        dwx_ref[2 * c :] = dwx_ref[2 * c :] + jax.lax.dot_general(
+            dy_lin, rhs_ref[: 9 * cin], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return 0
 
     jax.lax.fori_loop(0, p_cnt, b2, 0)
 
-    # pass B3: dm = convᵀ(dy_lin, Wc)  (stage dy_lin into pad_b, reuse rhs)
+    # pass B3: dm = convᵀ(dy_lin, Wc); dx ← convᵀ(dy_lin, Wx_c)
     def stage_tmp(p, _):
         stage(padb_ref, p, tmp_ref[p])
         return 0
@@ -432,7 +493,10 @@ def _red_recur_bwd_kernel(
     def b3(p, _):
         build_rhs(padb_ref, p, c)
         tmp_ref[p] = jnp.dot(
-            wcT_ref[...], rhs_ref[...], preferred_element_type=jnp.float32
+            wcT_ref[...], rhs_ref[: 9 * c], preferred_element_type=jnp.float32
+        )
+        dx_ref[0, p] = jnp.dot(
+            wxcT_ref[...], rhs_ref[: 9 * c], preferred_element_type=jnp.float32
         )
         return 0
 
@@ -455,8 +519,8 @@ def _red_recur_bwd_kernel(
         uu = u_of(p)
         dht = dh_ref[p] + gb_ref[0, p]
         du_pre = dht * (h_ref[0, p] - y_of(p)) * uu * (1.0 - uu)
-        dxc_ref[0, p, :c, :] = dr_pre
-        dxc_ref[0, p, c : 2 * c, :] = du_pre
+        tmp_ref[p] = dr_pre                      # dm dead; ylin dead after y_of
+        ylin_ref[p] = du_pre
         xnr = xn_r(p)
         xnu = xn_u(p)
         dxnr = dr_pre * gn_vec(0)
@@ -485,29 +549,36 @@ def _red_recur_bwd_kernel(
     m1u = s_dxn_u * inv_n
     m2u = s_dxx_u * inv_n
 
-    # pass C2: finalize dgates in dxc[:2C]; dbg; dWg (rhs of h in pad_a)
+    # pass C2: finalize dgates (overwrite the dead raw gates); dbg; dWg
+    # (rhs of h in pad_a); dWx gate rows (rhs of x in pad_x)
     def c2(p, _):
-        dr_pre = dxc_ref[0, p, :c, :]
-        du_pre = dxc_ref[0, p, c : 2 * c, :]
+        dr_pre = tmp_ref[p]
+        du_pre = ylin_ref[p]
         dgr = (dr_pre * gn_vec(0) - m1r - xn_r(p) * m2r) * inv_r
         dgu = (du_pre * gn_vec(2) - m1u - xn_u(p) * m2u) * inv_u
-        dxc_ref[0, p, :c, :] = dgr
-        dxc_ref[0, p, c : 2 * c, :] = dgu
+        gates_ref[p, :c, :] = dgr
+        gates_ref[p, c:, :] = dgu
         dbg_ref[:c] = dbg_ref[:c] + jnp.sum(dgr, axis=1, keepdims=True)
         dbg_ref[c:] = dbg_ref[c:] + jnp.sum(dgu, axis=1, keepdims=True)
-        build_rhs(pada_ref, p, c)
         dg2 = jnp.concatenate([dgr, dgu], axis=0)
+        build_rhs(pada_ref, p, c)
         dwg_ref[...] = dwg_ref[...] + jax.lax.dot_general(
-            dg2, rhs_ref[...], (((1,), (1,)), ((), ())),
+            dg2, rhs_ref[: 9 * c], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        build_rhs(padx_ref, p, cin)
+        dwx_ref[: 2 * c] = dwx_ref[: 2 * c] + jax.lax.dot_general(
+            dg2, rhs_ref[: 9 * cin], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return 0
 
     jax.lax.fori_loop(0, p_cnt, c2, 0)
 
-    # pass C3: dh_prev += convᵀ(dgr, Wg_r) + convᵀ(dgu, Wg_u)
+    # pass C3: dh_prev += convᵀ(dgr, Wg_r) + convᵀ(dgu, Wg_u);
+    #          dx += convᵀ(dgr, Wx_r) + convᵀ(dgu, Wx_u)
     def stage_dgr(p, _):
-        stage(padb_ref, p, dxc_ref[0, p, :c, :])
+        stage(padb_ref, p, gates_ref[p, :c, :])
         return 0
 
     jax.lax.fori_loop(0, p_cnt, stage_dgr, 0)
@@ -515,14 +586,17 @@ def _red_recur_bwd_kernel(
     def c3r(p, _):
         build_rhs(padb_ref, p, c)
         dhn_ref[p] = dhn_ref[p] + jnp.dot(
-            wgrT_ref[...], rhs_ref[...], preferred_element_type=jnp.float32
+            wgrT_ref[...], rhs_ref[: 9 * c], preferred_element_type=jnp.float32
+        )
+        dx_ref[0, p] = dx_ref[0, p] + jnp.dot(
+            wxrT_ref[...], rhs_ref[: 9 * c], preferred_element_type=jnp.float32
         )
         return 0
 
     jax.lax.fori_loop(0, p_cnt, c3r, 0)
 
     def stage_dgu(p, _):
-        stage(padb_ref, p, dxc_ref[0, p, c : 2 * c, :])
+        stage(padb_ref, p, gates_ref[p, c:, :])
         return 0
 
     jax.lax.fori_loop(0, p_cnt, stage_dgu, 0)
@@ -530,7 +604,10 @@ def _red_recur_bwd_kernel(
     def c3u(p, _):
         build_rhs(padb_ref, p, c)
         dh_ref[p] = dhn_ref[p] + jnp.dot(
-            wguT_ref[...], rhs_ref[...], preferred_element_type=jnp.float32
+            wguT_ref[...], rhs_ref[: 9 * c], preferred_element_type=jnp.float32
+        )
+        dx_ref[0, p] = dx_ref[0, p] + jnp.dot(
+            wxuT_ref[...], rhs_ref[: 9 * c], preferred_element_type=jnp.float32
         )
         return 0
 
@@ -544,34 +621,31 @@ def _flipT(w):
     return jnp.flip(w, (0, 1)).transpose(2, 0, 1, 3).reshape(c_in, -1)
 
 
-def _red_recur_bwd_pallas(xc, outs, wh, bh, wc, bc, gn, g, interpret=False):
-    """Pallas backward: cotangents of (xc, wh, bh, wc, bc, gn) from upstream
-    g (D, H, W, C) and the forward state sequence `outs`."""
-    d, height, width, c3 = xc.shape
-    c = c3 // 3
+def _red_recur_bwd_pallas(x, outs, wx, wh, bh, wc, bc, gn, g, interpret=False):
+    """Pallas backward: cotangents of (x, wx, wh, bh, wc, bc, gn) from
+    upstream g (D, H, W, C) and the forward state sequence `outs`."""
+    d, height, width, cin = x.shape
+    c = wx.shape[-1] // 3
     r = _pack_rows(height, width)
     p_cnt = height // r
 
-    def pack(t, ch):
-        return (
-            t.reshape(d, p_cnt, r, width, ch)
-            .transpose(0, 1, 4, 2, 3)
-            .reshape(d, p_cnt, ch, r * width)
-        )
-
     h_all = jnp.concatenate([jnp.zeros_like(outs[:1]), outs[:-1]], axis=0)
-    xc_p = pack(xc, 3 * c)
-    h_p = pack(h_all, c)
-    g_p = pack(g, c)
+    x_p = _pack_nhwc(x, cin, p_cnt, r, width)
+    h_p = _pack_nhwc(h_all, c, p_cnt, r, width)
+    g_p = _pack_nhwc(g, c, p_cnt, r, width)
 
+    wx_mat = wx.reshape(9 * cin, 3 * c).T
     wg_mat = wh.reshape(9 * c, 2 * c).T
     wc_mat = wc.reshape(9 * c, c).T
     wgrT = _flipT(wh[..., :c])
     wguT = _flipT(wh[..., c:])
     wcT = _flipT(wc)
+    wxrT = _flipT(wx[..., :c])
+    wxuT = _flipT(wx[..., c : 2 * c])
+    wxcT = _flipT(wx[..., 2 * c :])
 
     kernel = functools.partial(
-        _red_recur_bwd_kernel, c=c, height=height, width=width, r=r
+        _red_recur_bwd_kernel, c=c, cin=cin, height=height, width=width, r=r
     )
     rev = lambda di: (d - 1 - di, 0, 0, 0)
     blk = lambda ch: pl.BlockSpec((1, p_cnt, ch, r * width), rev,
@@ -580,7 +654,8 @@ def _red_recur_bwd_pallas(xc, outs, wh, bh, wc, bc, gn, g, interpret=False):
     const = lambda shape: pl.BlockSpec(shape, lambda di: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
     outs_spec = [
-        blk(3 * c),                                  # dxc
+        blk(cin),                                    # dx
+        const((3 * c, 9 * cin)),                     # dwx
         const((2 * c, 9 * c)),                       # dwg
         const((2 * c, 1)),                           # dbg
         const((c, 9 * c)),                           # dwc
@@ -588,22 +663,24 @@ def _red_recur_bwd_pallas(xc, outs, wh, bh, wc, bc, gn, g, interpret=False):
         const((c, 6)),                               # dgn (transposed)
     ]
     out_shapes = [
-        jax.ShapeDtypeStruct((d, p_cnt, 3 * c, r * width), jnp.float32),
+        jax.ShapeDtypeStruct((d, p_cnt, cin, r * width), jnp.float32),
+        jax.ShapeDtypeStruct((3 * c, 9 * cin), jnp.float32),
         jax.ShapeDtypeStruct((2 * c, 9 * c), jnp.float32),
         jax.ShapeDtypeStruct((2 * c, 1), jnp.float32),
         jax.ShapeDtypeStruct((c, 9 * c), jnp.float32),
         jax.ShapeDtypeStruct((c, 1), jnp.float32),
         jax.ShapeDtypeStruct((c, 6), jnp.float32),
     ]
-    dxc_p, dwg, dbg, dwc, dbc, dgn_t = pl.pallas_call(
+    dx_p, dwx, dwg, dbg, dwc, dbc, dgn_t = pl.pallas_call(
         kernel,
         grid=(d,),
         in_specs=[
             blk(c),                                  # h_prev
-            blk(3 * c),                              # xc
+            blk(cin),                                # x
             blk(c),                                  # g upstream
-            full, full, full, full, full,            # wg, bg, wc, bc, gn
+            full, full, full, full, full, full,      # wx, wg, bg, wc, bc, gn
             full, full, full,                        # wgrT, wguT, wcT
+            full, full, full,                        # wxrT, wxuT, wxcT
         ],
         out_specs=outs_spec,
         out_shape=out_shapes,
@@ -615,7 +692,8 @@ def _red_recur_bwd_pallas(xc, outs, wh, bh, wc, bc, gn, g, interpret=False):
             pltpu.VMEM((p_cnt, c, r * width), jnp.float32),        # tmp
             pltpu.VMEM((height + 2, c, width + 2), jnp.float32),   # pad_a
             pltpu.VMEM((height + 2, c, width + 2), jnp.float32),   # pad_b
-            pltpu.VMEM((9 * c, r * width), jnp.float32),           # im2col
+            pltpu.VMEM((height + 2, cin, width + 2), jnp.float32),  # pad_x
+            pltpu.VMEM((9 * max(c, cin), r * width), jnp.float32),  # im2col
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -623,18 +701,19 @@ def _red_recur_bwd_pallas(xc, outs, wh, bh, wc, bc, gn, g, interpret=False):
         ),
         interpret=interpret,
     )(
-        h_p, xc_p, g_p,
-        wg_mat, bh.reshape(2 * c, 1), wc_mat, bc.reshape(c, 1), gn,
-        wgrT, wguT, wcT,
+        h_p, x_p, g_p,
+        wx_mat, wg_mat, bh.reshape(2 * c, 1), wc_mat, bc.reshape(c, 1), gn,
+        wgrT, wguT, wcT, wxrT, wxuT, wxcT,
     )
-    dxc = (
-        dxc_p.reshape(d, p_cnt, 3 * c, r, width)
+    dx = (
+        dx_p.reshape(d, p_cnt, cin, r, width)
         .transpose(0, 1, 3, 4, 2)
-        .reshape(d, height, width, 3 * c)
+        .reshape(d, height, width, cin)
     )
+    dwx_k = dwx.T.reshape(3, 3, cin, 3 * c)
     dwh = dwg.T.reshape(3, 3, c, 2 * c)
     dwc_k = dwc.T.reshape(3, 3, c, c)
-    return dxc, dwh, dbg.reshape(2 * c), dwc_k, dbc.reshape(c), dgn_t.T
+    return dx, dwx_k, dwh, dbg.reshape(2 * c), dwc_k, dbc.reshape(c), dgn_t.T
 
 
 def _stream_slab_packs(p_cnt: int, c: int, rw: int) -> int:
@@ -649,28 +728,29 @@ def _stream_slab_packs(p_cnt: int, c: int, rw: int) -> int:
 
 
 def _red_recur_bwd_kernel_stream(
-    h_ref, g_ref, xc_hbm, wg_ref, bg_ref, wc_ref, bc_ref, gn_ref,
-    wgrT_ref, wguT_ref, wcT_ref,
-    dxcg_hbm, dxcc_hbm, dwg_ref, dbg_ref, dwc_ref, dbc_ref, dgn_ref,
-    dh_ref, gates_ref, ylin_ref, tmp_ref, pad_ref, rhs_ref, xcs_ref, sem,
-    *, c: int, height: int, width: int, r: int, sp: int,
+    h_ref, g_ref, x_hbm, wx_ref, wg_ref, bg_ref, wc_ref, bc_ref, gn_ref,
+    wgrT_ref, wguT_ref, wcT_ref, wxrT_ref, wxuT_ref, wxcT_ref,
+    dx_hbm, dwx_ref, dwg_ref, dbg_ref, dwc_ref, dbc_ref, dgn_ref,
+    dh_ref, gates_ref, ylin_ref, tmp_ref, dx_ref, pad_ref, padx_ref,
+    rhs_ref, xs_ref, sem, osem,
+    *, c: int, cin: int, height: int, width: int, r: int, sp: int,
 ):
     """Slab-streamed adjoint of one RED scale — same math as
     `_red_recur_bwd_kernel`, restructured so the stage-3 production planes
     (384x768 C=8, 192x384 C=16) fit VMEM:
 
-      * xc stays in HBM and is DMA'd in (sp, ·, R·W) slabs inside the two
-        passes that read it (gates / candidate recompute);
-      * dxc is written back to HBM slab-by-slab as each pass finalizes it
-        (candidate half after the GN_y transpose, gates half after the
-        GN_r/GN_u transpose) — no whole-plane dxc buffer;
+      * x stays in HBM, DMA'd once per plane in (sp, C, R·W) slabs and staged
+        into a persistent pad_x (the in-kernel xc recompute and the dWx
+        accumulation read it via im2col builds);
+      * dx accumulates in a VMEM buffer across the three convᵀ passes and is
+        written back to HBM once per plane — no pipelined dx blocks;
       * the dhn accumulator is eliminated: B1 materializes dht into the dh
         carry in place, C1 rebuilds the new carry as dht·u + dm·r (u is
         already recomputed there), C3 adds the convᵀ terms;
       * one shared pad buffer (h → m → dy_lin → h → dgr → dgu restaged as
-        needed) instead of two.
+        needed) plus the persistent pad_x.
 
-    VMEM ≈ 9C·plane vs the dense kernel's ~22C·plane."""
+    VMEM ≈ 12C·plane vs the dense kernel's ~17C·plane."""
     d = pl.program_id(0)
     nd = pl.num_programs(0)
     dp = nd - 1 - d
@@ -684,27 +764,36 @@ def _red_recur_bwd_kernel_stream(
     def _():
         dh_ref[...] = jnp.zeros_like(dh_ref)
         pad_ref[...] = jnp.zeros_like(pad_ref)
+        padx_ref[...] = jnp.zeros_like(padx_ref)
+        dwx_ref[...] = jnp.zeros_like(dwx_ref)
         dwg_ref[...] = jnp.zeros_like(dwg_ref)
         dbg_ref[...] = jnp.zeros_like(dbg_ref)
         dwc_ref[...] = jnp.zeros_like(dwc_ref)
         dbc_ref[...] = jnp.zeros_like(dbc_ref)
         dgn_ref[...] = jnp.zeros_like(dgn_ref)
 
-    def build_rhs(p):
+    def build_rhs_from(pad, p, ch=c):
         for dy in range(3):
             for dx in range(3):
                 t = dy * 3 + dx
                 for s_ in range(r):
-                    slab = pad_ref[pl.ds(p * r + s_ + dy, 1), :, dx : dx + width]
-                    rhs_ref[t * c : (t + 1) * c, s_ * width : (s_ + 1) * width] = (
-                        slab.reshape(c, width)
+                    slab = pad[pl.ds(p * r + s_ + dy, 1), :, dx : dx + width]
+                    rhs_ref[t * ch : (t + 1) * ch, s_ * width : (s_ + 1) * width] = (
+                        slab.reshape(ch, width)
                     )
 
-    def stage(p, buf):
+    def build_rhs(p):
+        build_rhs_from(pad_ref, p)
+
+    def stage_into(pad, p, buf):
+        ch = buf.shape[0]
         for s_ in range(r):
-            pad_ref[pl.ds(p * r + s_ + 1, 1), :, 1 : width + 1] = (
-                buf[:, s_ * width : (s_ + 1) * width].reshape(1, c, width)
+            pad[pl.ds(p * r + s_ + 1, 1), :, 1 : width + 1] = (
+                buf[:, s_ * width : (s_ + 1) * width].reshape(1, ch, width)
             )
+
+    def stage(p, buf):
+        stage_into(pad_ref, p, buf)
 
     def gn_vec(k):
         return gn_ref[k].reshape(c, 1)
@@ -716,22 +805,31 @@ def _red_recur_bwd_kernel_stream(
 
     jax.lax.fori_loop(0, p_cnt, stage_h, 0)
 
+    # x: slab-DMA from HBM into the persistent pad_x
     for s in range(n_slabs):
         dma = pltpu.make_async_copy(
-            xc_hbm.at[dp, pl.ds(s * sp, sp), 0 : 2 * c, :], xcs_ref, sem
+            x_hbm.at[dp, pl.ds(s * sp, sp), :, :], xs_ref, sem
         )
         dma.start()
         dma.wait()
 
-        def gates_body(q, _):
-            p = s * sp + q
-            build_rhs(p)
-            g = jnp.dot(wg_ref[...], rhs_ref[...],
-                        preferred_element_type=jnp.float32)
-            gates_ref[p] = g + xcs_ref[q] + bg_ref[...]
+        def stage_x(q, _):
+            stage_into(padx_ref, s * sp + q, xs_ref[q])
             return 0
 
-        jax.lax.fori_loop(0, sp, gates_body, 0)
+        jax.lax.fori_loop(0, sp, stage_x, 0)
+
+    def gates_body(p, _):
+        build_rhs(p)
+        g = jnp.dot(wg_ref[...], rhs_ref[: 9 * c],
+                    preferred_element_type=jnp.float32)
+        build_rhs_from(padx_ref, p, cin)
+        g = g + jnp.dot(wx_ref[: 2 * c], rhs_ref[: 9 * cin],
+                        preferred_element_type=jnp.float32)
+        gates_ref[p] = g + bg_ref[...]
+        return 0
+
+    jax.lax.fori_loop(0, p_cnt, gates_body, 0)
 
     def gate_sums(p, acc):
         g = gates_ref[p]
@@ -769,25 +867,17 @@ def _red_recur_bwd_kernel_stream(
 
     jax.lax.fori_loop(0, p_cnt, m_body, 0)
 
-    sy = zero
-    for s in range(n_slabs):
-        dma = pltpu.make_async_copy(
-            xc_hbm.at[dp, pl.ds(s * sp, sp), 2 * c : 3 * c, :],
-            xcs_ref.at[:, :c, :], sem,
-        )
-        dma.start()
-        dma.wait()
-
-        def cand_body(q, acc):
-            p = s * sp + q
-            build_rhs(p)
-            y = jnp.dot(wc_ref[...], rhs_ref[...],
+    def cand_body(p, acc):
+        build_rhs(p)
+        y = jnp.dot(wc_ref[...], rhs_ref[: 9 * c],
+                    preferred_element_type=jnp.float32)
+        build_rhs_from(padx_ref, p, cin)
+        y = y + jnp.dot(wx_ref[2 * c :], rhs_ref[: 9 * cin],
                         preferred_element_type=jnp.float32)
-            y = y + xcs_ref[q, :c, :] + bc_ref[...]
-            ylin_ref[p] = y
-            return acc + jnp.sum(y)
+        ylin_ref[p] = y + bc_ref[...]
+        return acc + jnp.sum(ylin_ref[p])
 
-        sy = jax.lax.fori_loop(0, sp, cand_body, sy)
+    sy = jax.lax.fori_loop(0, p_cnt, cand_body, zero)
     mu_y = sy * inv_n
 
     def cand_vars(p, acc):
@@ -827,31 +917,27 @@ def _red_recur_bwd_kernel_stream(
     m1y = s_dxn * inv_n
     m2y = s_dxx * inv_n
 
-    # pass B2: tmp ← dy_lin; dbc, dWc (rhs of m still staged); dxc_cand out
-    for s in range(n_slabs):
-
-        def b2(q, _):
-            p = s * sp + q
-            do = tmp_ref[p]
-            dy_lin = (do * gn_vec(4) - m1y - xn_y(p) * m2y) * inv_y
-            tmp_ref[p] = dy_lin
-            dbc_ref[...] = dbc_ref[...] + jnp.sum(dy_lin, axis=1, keepdims=True)
-            build_rhs(p)
-            dwc_ref[...] = dwc_ref[...] + jax.lax.dot_general(
-                dy_lin, rhs_ref[...], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            return 0
-
-        jax.lax.fori_loop(0, sp, b2, 0)
-        dma = pltpu.make_async_copy(
-            tmp_ref.at[pl.ds(s * sp, sp)],
-            dxcc_hbm.at[dp, pl.ds(s * sp, sp)], sem,
+    # pass B2: tmp ← dy_lin; dbc, dWc (rhs of m still staged); dWx cand rows
+    def b2(p, _):
+        do = tmp_ref[p]
+        dy_lin = (do * gn_vec(4) - m1y - xn_y(p) * m2y) * inv_y
+        tmp_ref[p] = dy_lin
+        dbc_ref[...] = dbc_ref[...] + jnp.sum(dy_lin, axis=1, keepdims=True)
+        build_rhs(p)
+        dwc_ref[...] = dwc_ref[...] + jax.lax.dot_general(
+            dy_lin, rhs_ref[: 9 * c], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        dma.start()
-        dma.wait()
+        build_rhs_from(padx_ref, p, cin)
+        dwx_ref[2 * c :] = dwx_ref[2 * c :] + jax.lax.dot_general(
+            dy_lin, rhs_ref[: 9 * cin], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return 0
 
-    # pass B3: dm = convᵀ(dy_lin, Wc)
+    jax.lax.fori_loop(0, p_cnt, b2, 0)
+
+    # pass B3: dm = convᵀ(dy_lin, Wc); dx ← convᵀ(dy_lin, Wx_c)
     def stage_tmp(p, _):
         stage(p, tmp_ref[p])                       # pad ← dy_lin
         return 0
@@ -860,8 +946,10 @@ def _red_recur_bwd_kernel_stream(
 
     def b3(p, _):
         build_rhs(p)
-        tmp_ref[p] = jnp.dot(wcT_ref[...], rhs_ref[...],
+        tmp_ref[p] = jnp.dot(wcT_ref[...], rhs_ref[: 9 * c],
                              preferred_element_type=jnp.float32)
+        dx_ref[p] = jnp.dot(wxcT_ref[...], rhs_ref[: 9 * c],
+                            preferred_element_type=jnp.float32)
         return 0
 
     jax.lax.fori_loop(0, p_cnt, b3, 0)
@@ -908,42 +996,39 @@ def _red_recur_bwd_kernel_stream(
     m1u = s_dxn_u * inv_n
     m2u = s_dxx_u * inv_n
 
-    # pass C2: dgates overwrite the dead raw gates; dbg; dWg; dxc_gates out
+    # pass C2: dgates overwrite the dead raw gates; dbg; dWg; dWx gate rows
     def stage_h2(p, _):
         stage(p, h_ref[0, p])                      # pad ← h again
         return 0
 
     jax.lax.fori_loop(0, p_cnt, stage_h2, 0)
 
-    for s in range(n_slabs):
-
-        def c2(q, _):
-            p = s * sp + q
-            dr_pre = tmp_ref[p]
-            du_pre = ylin_ref[p]
-            dgr = (dr_pre * gn_vec(0) - m1r - xn_r(p) * m2r) * inv_r
-            dgu = (du_pre * gn_vec(2) - m1u - xn_u(p) * m2u) * inv_u
-            gates_ref[p, :c, :] = dgr
-            gates_ref[p, c:, :] = dgu
-            dbg_ref[:c] = dbg_ref[:c] + jnp.sum(dgr, axis=1, keepdims=True)
-            dbg_ref[c:] = dbg_ref[c:] + jnp.sum(dgu, axis=1, keepdims=True)
-            build_rhs(p)
-            dg2 = jnp.concatenate([dgr, dgu], axis=0)
-            dwg_ref[...] = dwg_ref[...] + jax.lax.dot_general(
-                dg2, rhs_ref[...], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            return 0
-
-        jax.lax.fori_loop(0, sp, c2, 0)
-        dma = pltpu.make_async_copy(
-            gates_ref.at[pl.ds(s * sp, sp)],
-            dxcg_hbm.at[dp, pl.ds(s * sp, sp)], sem,
+    def c2(p, _):
+        dr_pre = tmp_ref[p]
+        du_pre = ylin_ref[p]
+        dgr = (dr_pre * gn_vec(0) - m1r - xn_r(p) * m2r) * inv_r
+        dgu = (du_pre * gn_vec(2) - m1u - xn_u(p) * m2u) * inv_u
+        gates_ref[p, :c, :] = dgr
+        gates_ref[p, c:, :] = dgu
+        dbg_ref[:c] = dbg_ref[:c] + jnp.sum(dgr, axis=1, keepdims=True)
+        dbg_ref[c:] = dbg_ref[c:] + jnp.sum(dgu, axis=1, keepdims=True)
+        dg2 = jnp.concatenate([dgr, dgu], axis=0)
+        build_rhs(p)
+        dwg_ref[...] = dwg_ref[...] + jax.lax.dot_general(
+            dg2, rhs_ref[: 9 * c], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        dma.start()
-        dma.wait()
+        build_rhs_from(padx_ref, p, cin)
+        dwx_ref[: 2 * c] = dwx_ref[: 2 * c] + jax.lax.dot_general(
+            dg2, rhs_ref[: 9 * cin], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return 0
 
-    # pass C3: dh_prev += convᵀ(dgr, Wg_r) + convᵀ(dgu, Wg_u)
+    jax.lax.fori_loop(0, p_cnt, c2, 0)
+
+    # pass C3: dh_prev += convᵀ(dgr, Wg_r) + convᵀ(dgu, Wg_u);
+    #          dx += convᵀ(dgr, Wx_r) + convᵀ(dgu, Wx_u)
     def stage_dgr(p, _):
         stage(p, gates_ref[p, :c, :])
         return 0
@@ -953,7 +1038,10 @@ def _red_recur_bwd_kernel_stream(
     def c3r(p, _):
         build_rhs(p)
         dh_ref[p] = dh_ref[p] + jnp.dot(
-            wgrT_ref[...], rhs_ref[...], preferred_element_type=jnp.float32
+            wgrT_ref[...], rhs_ref[: 9 * c], preferred_element_type=jnp.float32
+        )
+        dx_ref[p] = dx_ref[p] + jnp.dot(
+            wxrT_ref[...], rhs_ref[: 9 * c], preferred_element_type=jnp.float32
         )
         return 0
 
@@ -968,43 +1056,48 @@ def _red_recur_bwd_kernel_stream(
     def c3u(p, _):
         build_rhs(p)
         dh_ref[p] = dh_ref[p] + jnp.dot(
-            wguT_ref[...], rhs_ref[...], preferred_element_type=jnp.float32
+            wguT_ref[...], rhs_ref[: 9 * c], preferred_element_type=jnp.float32
+        )
+        dx_ref[p] = dx_ref[p] + jnp.dot(
+            wxuT_ref[...], rhs_ref[: 9 * c], preferred_element_type=jnp.float32
         )
         return 0
 
     jax.lax.fori_loop(0, p_cnt, c3u, 0)
 
+    # write this plane's dx back to HBM (single DMA per plane)
+    odma = pltpu.make_async_copy(dx_ref, dx_hbm.at[dp], osem)
+    odma.start()
+    odma.wait()
 
-def _red_recur_bwd_pallas_stream(xc, outs, wh, bh, wc, bc, gn, g,
+
+def _red_recur_bwd_pallas_stream(x, outs, wx, wh, bh, wc, bc, gn, g,
                                  interpret=False):
     """Streamed-kernel backward: same contract as `_red_recur_bwd_pallas`."""
-    d, height, width, c3 = xc.shape
-    c = c3 // 3
+    d, height, width, cin = x.shape
+    c = wx.shape[-1] // 3
     r = _pack_rows(height, width)
     p_cnt = height // r
-    sp = _stream_slab_packs(p_cnt, c, r * width)
-
-    def pack(t, ch):
-        return (
-            t.reshape(d, p_cnt, r, width, ch)
-            .transpose(0, 1, 4, 2, 3)
-            .reshape(d, p_cnt, ch, r * width)
-        )
+    sp = _stream_slab_packs(p_cnt, cin, r * width)
 
     h_all = jnp.concatenate([jnp.zeros_like(outs[:1]), outs[:-1]], axis=0)
-    xc_p = pack(xc, 3 * c)
-    h_p = pack(h_all, c)
-    g_p = pack(g, c)
+    x_p = _pack_nhwc(x, cin, p_cnt, r, width)
+    h_p = _pack_nhwc(h_all, c, p_cnt, r, width)
+    g_p = _pack_nhwc(g, c, p_cnt, r, width)
 
+    wx_mat = wx.reshape(9 * cin, 3 * c).T
     wg_mat = wh.reshape(9 * c, 2 * c).T
     wc_mat = wc.reshape(9 * c, c).T
     wgrT = _flipT(wh[..., :c])
     wguT = _flipT(wh[..., c:])
     wcT = _flipT(wc)
+    wxrT = _flipT(wx[..., :c])
+    wxuT = _flipT(wx[..., c : 2 * c])
+    wxcT = _flipT(wx[..., 2 * c :])
 
     kernel = functools.partial(
-        _red_recur_bwd_kernel_stream, c=c, height=height, width=width, r=r,
-        sp=sp,
+        _red_recur_bwd_kernel_stream, c=c, cin=cin, height=height, width=width,
+        r=r, sp=sp,
     )
     rev = lambda di: (d - 1 - di, 0, 0, 0)
     blk = lambda ch: pl.BlockSpec((1, p_cnt, ch, r * width), rev,
@@ -1014,8 +1107,8 @@ def _red_recur_bwd_pallas_stream(xc, outs, wh, bh, wc, bc, gn, g,
     const = lambda shape: pl.BlockSpec(shape, lambda di: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
     outs_spec = [
-        hbm,                                         # dxc gates half
-        hbm,                                         # dxc cand half
+        hbm,                                         # dx (plane DMA writes)
+        const((3 * c, 9 * cin)),                     # dwx
         const((2 * c, 9 * c)),                       # dwg
         const((2 * c, 1)),                           # dbg
         const((c, 9 * c)),                           # dwc
@@ -1023,23 +1116,24 @@ def _red_recur_bwd_pallas_stream(xc, outs, wh, bh, wc, bc, gn, g,
         const((c, 6)),                               # dgn (transposed)
     ]
     out_shapes = [
-        jax.ShapeDtypeStruct((d, p_cnt, 2 * c, r * width), jnp.float32),
-        jax.ShapeDtypeStruct((d, p_cnt, c, r * width), jnp.float32),
+        jax.ShapeDtypeStruct((d, p_cnt, cin, r * width), jnp.float32),
+        jax.ShapeDtypeStruct((3 * c, 9 * cin), jnp.float32),
         jax.ShapeDtypeStruct((2 * c, 9 * c), jnp.float32),
         jax.ShapeDtypeStruct((2 * c, 1), jnp.float32),
         jax.ShapeDtypeStruct((c, 9 * c), jnp.float32),
         jax.ShapeDtypeStruct((c, 1), jnp.float32),
         jax.ShapeDtypeStruct((c, 6), jnp.float32),
     ]
-    dxcg, dxcc, dwg, dbg, dwc, dbc, dgn_t = pl.pallas_call(
+    dx_p, dwx, dwg, dbg, dwc, dbc, dgn_t = pl.pallas_call(
         kernel,
         grid=(d,),
         in_specs=[
             blk(c),                                  # h_prev (pipelined)
             blk(c),                                  # g upstream (pipelined)
-            hbm,                                     # xc (slab-DMA'd)
-            full, full, full, full, full,            # wg, bg, wc, bc, gn
+            hbm,                                     # x (slab-DMA'd)
+            full, full, full, full, full, full,      # wx, wg, bg, wc, bc, gn
             full, full, full,                        # wgrT, wguT, wcT
+            full, full, full,                        # wxrT, wxuT, wxcT
         ],
         out_specs=outs_spec,
         out_shape=out_shapes,
@@ -1048,9 +1142,12 @@ def _red_recur_bwd_pallas_stream(xc, outs, wh, bh, wc, bc, gn, g,
             pltpu.VMEM((p_cnt, 2 * c, r * width), jnp.float32),    # gates/dgates
             pltpu.VMEM((p_cnt, c, r * width), jnp.float32),        # ylin/du_pre
             pltpu.VMEM((p_cnt, c, r * width), jnp.float32),        # do/dy_lin/dm/dr_pre
+            pltpu.VMEM((p_cnt, cin, r * width), jnp.float32),      # dx accum
             pltpu.VMEM((height + 2, c, width + 2), jnp.float32),   # shared pad
-            pltpu.VMEM((9 * c, r * width), jnp.float32),           # im2col
-            pltpu.VMEM((sp, 2 * c, r * width), jnp.float32),       # xc slab
+            pltpu.VMEM((height + 2, cin, width + 2), jnp.float32),  # pad_x
+            pltpu.VMEM((9 * max(c, cin), r * width), jnp.float32),  # im2col
+            pltpu.VMEM((sp, cin, r * width), jnp.float32),         # x slab
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -1059,43 +1156,41 @@ def _red_recur_bwd_pallas_stream(xc, outs, wh, bh, wc, bc, gn, g,
         ),
         interpret=interpret,
     )(
-        h_p, g_p, xc_p,
-        wg_mat, bh.reshape(2 * c, 1), wc_mat, bc.reshape(c, 1), gn,
-        wgrT, wguT, wcT,
+        h_p, g_p, x_p,
+        wx_mat, wg_mat, bh.reshape(2 * c, 1), wc_mat, bc.reshape(c, 1), gn,
+        wgrT, wguT, wcT, wxrT, wxuT, wxcT,
     )
 
-    def unpack(t, ch):
-        return (
-            t.reshape(d, p_cnt, ch, r, width)
-            .transpose(0, 1, 3, 4, 2)
-            .reshape(d, height, width, ch)
-        )
-
-    dxc = jnp.concatenate([unpack(dxcg, 2 * c), unpack(dxcc, c)], axis=-1)
+    dx = (
+        dx_p.reshape(d, p_cnt, cin, r, width)
+        .transpose(0, 1, 3, 4, 2)
+        .reshape(d, height, width, cin)
+    )
+    dwx_k = dwx.T.reshape(3, 3, cin, 3 * c)
     dwh = dwg.T.reshape(3, 3, c, 2 * c)
     dwc_k = dwc.T.reshape(3, 3, c, c)
-    return dxc, dwh, dbg.reshape(2 * c), dwc_k, dbc.reshape(c), dgn_t.T
+    return dx, dwx_k, dwh, dbg.reshape(2 * c), dwc_k, dbc.reshape(c), dgn_t.T
 
 
-def _stream_vmem_bytes(d, height, width, c):
+def _stream_vmem_bytes(d, height, width, c, cin):
     """Rough VMEM footprint of the streamed backward kernel."""
     plane = height * width * 4
     io = 2 * (c + c) * plane                         # h, g pipelined ×2
-    scratch = (c + 2 * c + c + c) * plane            # dh, gates, ylin, tmp
-    pad = (height + 2) * c * (width + 2) * 4
+    scratch = (c + 2 * c + c + c + cin) * plane      # dh, gates, ylin, tmp, dx
+    pads = (height + 2) * (c + cin) * (width + 2) * 4  # shared pad + pad_x
     r = _pack_rows(height, width)
-    sp = _stream_slab_packs(height // r, c, r * width)
-    slab = sp * 2 * c * r * width * 4
-    return io + scratch + pad + slab
+    sp = _stream_slab_packs(height // r, cin, r * width)
+    slab = sp * cin * r * width * 4
+    return io + scratch + pads + slab
 
 
-def _bwd_vmem_bytes(d, height, width, c):
+def _bwd_vmem_bytes(d, height, width, c, cin):
     """Rough VMEM footprint of the backward kernel (I/O blocks are
     double-buffered by the pipeline; scratches are single)."""
     plane = height * width * 4
-    io = 2 * (c + 3 * c + c + 3 * c) * plane          # h, xc, g, dxc ×2
+    io = 2 * (c + cin + c + cin) * plane              # h, x, g, dx ×2
     scratch = (c + c + 2 * c + c + c) * plane         # dh, dhn, gates, ylin, tmp
-    pads = 2 * (height + 2) * c * (width + 2) * 4
+    pads = (height + 2) * (2 * c + cin) * (width + 2) * 4  # pad_a/b, pad_x
     return io + scratch + pads
 
 
@@ -1106,7 +1201,7 @@ def _gn1(x, scale, bias):
     return (x - mu) * jax.lax.rsqrt(var + _EPS) * scale + bias
 
 
-def _cell_step(h, xc, wh, bh, wc, bc, gn):
+def _cell_step(h, x, wx, wh, bh, wc, bc, gn):
     """Pure-jnp mirror of one kernel plane step (single plane, NHWC-no-batch).
 
     Used only by the custom-VJP backward: `jax.vjp` of this function gives
@@ -1119,6 +1214,7 @@ def _cell_step(h, xc, wh, bh, wc, bc, gn):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )[0]
 
+    xc = conv(x, wx)
     gates = conv(h, wh) + xc[..., : 2 * c] + bh
     r = jax.nn.sigmoid(_gn1(gates[..., :c], gn[0], gn[1]))
     u = jax.nn.sigmoid(_gn1(gates[..., c:], gn[2], gn[3]))
@@ -1126,9 +1222,10 @@ def _cell_step(h, xc, wh, bh, wc, bc, gn):
     return u * h + (1.0 - u) * y
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
 def red_recur(
-    xc: jnp.ndarray,
+    x: jnp.ndarray,
+    wx: jnp.ndarray,
     wh: jnp.ndarray,
     bh: jnp.ndarray,
     wc: jnp.ndarray,
@@ -1139,25 +1236,32 @@ def red_recur(
     """Run the full ConvGRU depth recurrence of one RED scale (fused kernel).
 
     Args:
-      xc: (D, H, W, 3C) hoisted input contributions [gates-x (2C) | cand-x (C)].
+      x:  (D, H, W, C) the cell input for every plane (the scale's encoder
+          output).  Its conv contribution xc = Wx ⊛ x is computed IN-KERNEL
+          (im2col matmuls in the W-in-lanes layout): an XLA NHWC conv at
+          C≈8-64 wastes up to 16x lane bandwidth, and only the C-channel x
+          (not the 3C xc) crosses the NHWC → row-packed layout boundary.
+      wx: (3, 3, C, 3C) input-conv kernel [gates-x (2C) | cand-x (C)]
+          (nn/blocks.ConvGRUCell `Conv_x`, bias-free).
       wh: (3, 3, C, 2C) gates h-conv kernel;  bh: (2C,) its bias.
       wc: (3, 3, C, C) candidate h-conv kernel;  bc: (C,) its bias.
       gn: (6, C) GroupNorm params, rows = [r_scale, r_bias, u_scale, u_bias,
           y_scale, y_bias].
     Returns (D, H, W, C): the GRU output/state for every plane (zero-init
-    state; identical math to scanning nn/blocks.ConvGRUCell.recur over D).
+    state; identical math to scanning nn/blocks.ConvGRUCell over D with
+    x_contrib inputs).
 
-    Differentiable: the backward is a reverse `lax.scan` that recomputes each
-    plane's internals from the saved state sequence (the forward's own
-    output) and applies the exact local VJP — no extra forward residuals are
-    stored, so the fused kernel serves training too.
+    Differentiable: the backward recomputes each plane's internals from the
+    saved state sequence (the forward's own output) and applies the exact
+    adjoint — in a reverse-grid Pallas kernel when it fits VMEM (dense or
+    slab-streamed), else a reverse `lax.scan` of the local VJP.
     """
-    return _red_recur_impl(xc, wh, bh, wc, bc, gn, interpret)
+    return _red_recur_impl(x, wx, wh, bh, wc, bc, gn, interpret)
 
 
-def _red_recur_fwd(xc, wh, bh, wc, bc, gn, interpret):
-    outs = _red_recur_impl(xc, wh, bh, wc, bc, gn, interpret)
-    return outs, (xc, outs, wh, bh, wc, bc, gn)
+def _red_recur_fwd(x, wx, wh, bh, wc, bc, gn, interpret):
+    outs = _red_recur_impl(x, wx, wh, bh, wc, bc, gn, interpret)
+    return outs, (x, outs, wx, wh, bh, wc, bc, gn)
 
 
 _BWD_VMEM_CAP = 100 * 1024 * 1024
@@ -1165,42 +1269,43 @@ _STREAM_VMEM_CAP = 112 * 1024 * 1024
 
 
 def _red_recur_bwd(interpret, res, g):
-    xc, outs, wh, bh, wc, bc, gn = res
-    d, height, width, c3 = xc.shape
-    c = c3 // 3
-    if _bwd_vmem_bytes(d, height, width, c) <= _BWD_VMEM_CAP:
-        return _red_recur_bwd_pallas(xc, outs, wh, bh, wc, bc, gn, g, interpret)
+    x, outs, wx, wh, bh, wc, bc, gn = res
+    d, height, width, cin = x.shape
+    c = wx.shape[-1] // 3
+    if _bwd_vmem_bytes(d, height, width, c, cin) <= _BWD_VMEM_CAP:
+        return _red_recur_bwd_pallas(x, outs, wx, wh, bh, wc, bc, gn, g,
+                                     interpret)
     if (height % _pack_rows(height, width) == 0
-            and _stream_vmem_bytes(d, height, width, c) <= _STREAM_VMEM_CAP):
+            and _stream_vmem_bytes(d, height, width, c, cin) <= _STREAM_VMEM_CAP):
         # plane too large for the dense adjoint but fits the slab-streamed
-        # one (xc/dxc stay in HBM) — covers the stage-3 production scales
+        # one (x/dx stay in HBM) — covers the stage-3 production scales
         return _red_recur_bwd_pallas_stream(
-            xc, outs, wh, bh, wc, bc, gn, g, interpret
+            x, outs, wx, wh, bh, wc, bc, gn, g, interpret
         )
 
     # fallback (plane too large even for the streamed adjoint): reverse scan
     # recomputing each step in XLA
-    params = (wh, bh, wc, bc, gn)
+    params = (wx, wh, bh, wc, bc, gn)
     h_prev = jnp.concatenate([jnp.zeros_like(outs[:1]), outs[:-1]], axis=0)
 
     def step(carry, inp):
         dh, dps = carry
-        hp, xc_d, g_d = inp
-        _, vjp = jax.vjp(_cell_step, hp, xc_d, *params)
-        dhp, dxc_d, *dp = vjp(dh + g_d)
+        hp, x_d, g_d = inp
+        _, vjp = jax.vjp(_cell_step, hp, x_d, *params)
+        dhp, dx_d, *dp = vjp(dh + g_d)
         dps = jax.tree.map(jnp.add, dps, tuple(dp))
-        return (dhp, dps), dxc_d
+        return (dhp, dps), dx_d
 
     zero = (jnp.zeros_like(outs[0]), jax.tree.map(jnp.zeros_like, params))
-    (_, dps), dxc = jax.lax.scan(step, zero, (h_prev, xc, g), reverse=True)
-    return (dxc, *dps)
+    (_, dps), dx = jax.lax.scan(step, zero, (h_prev, x, g), reverse=True)
+    return (dx, *dps)
 
 
 red_recur.defvjp(_red_recur_fwd, _red_recur_bwd)
 
 
 def cell_params_matrices(cell_params: dict) -> tuple:
-    """ConvGRUCell param subtree → red_recur's (wh, bh, wc, bc, gn) args."""
+    """ConvGRUCell param subtree → red_recur's (wx, wh, bh, wc, bc, gn) args."""
     gn = jnp.stack(
         [
             cell_params["GroupNorm_0"]["scale"],
@@ -1212,6 +1317,7 @@ def cell_params_matrices(cell_params: dict) -> tuple:
         ]
     )
     return (
+        cell_params["Conv_x"]["kernel"],
         cell_params["Conv_h"]["kernel"],
         cell_params["Conv_h"]["bias"],
         cell_params["Conv_c"]["kernel"],

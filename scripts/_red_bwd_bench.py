@@ -51,29 +51,30 @@ def main():
         ("s3/sc2", 8, 96, 192, 32),
     ]
     for name, d, h, w, c in cases:
-        xc = jnp.asarray(rng.normal(size=(d, h, w, 3 * c)).astype(np.float32) * 0.1)
+        x = jnp.asarray(rng.normal(size=(d, h, w, c)).astype(np.float32) * 0.1)
+        wx = jnp.asarray(rng.normal(size=(3, 3, c, 3 * c)).astype(np.float32) * 0.1)
         wh = jnp.asarray(rng.normal(size=(3, 3, c, 2 * c)).astype(np.float32) * 0.1)
         bh = jnp.zeros((2 * c,), jnp.float32)
         wc = jnp.asarray(rng.normal(size=(3, 3, c, c)).astype(np.float32) * 0.1)
         bc = jnp.zeros((c,), jnp.float32)
         gn = jnp.asarray(np.stack([np.ones(c), np.zeros(c)] * 3).astype(np.float32))
-        vm = _bwd_vmem_bytes(d, h, w, c) / 1e6
-        fb = "FALLBACK" if _bwd_vmem_bytes(d, h, w, c) > _BWD_VMEM_CAP else "pallas"
+        vm = _bwd_vmem_bytes(d, h, w, c, c) / 1e6
+        fb = "FALLBACK" if _bwd_vmem_bytes(d, h, w, c, c) > _BWD_VMEM_CAP else "pallas"
 
         def fwd_step(cc):
-            out = red_recur(xc + cc * 1e-12, wh, bh, wc, bc, gn)
+            out = red_recur(x + cc * 1e-12, wx, wh, bh, wc, bc, gn)
             return out.ravel()[0]
 
         tf = _time_step(fwd_step)
 
-        def loss(xc_, wh_):
-            return jnp.sum(red_recur(xc_, wh_, bh, wc, bc, gn) ** 2)
+        def loss(x_, wh_):
+            return jnp.sum(red_recur(x_, wx, wh_, bh, wc, bc, gn) ** 2)
 
         gradfn = jax.grad(loss, argnums=(0, 1))
 
         def bwd_step(cc):
-            dxc, dwh = gradfn(xc + cc * 1e-12, wh)
-            return dxc.ravel()[0] + dwh.ravel()[0]
+            dx, dwh = gradfn(x + cc * 1e-12, wh)
+            return dx.ravel()[0] + dwh.ravel()[0]
 
         tg = _time_step(bwd_step)
         print(

@@ -137,23 +137,27 @@ def test_sweep_variance_gradient_matches_xla():
 
 def test_red_recur_kernel_matches_xla_scan():
     """Fused per-scale GRU depth recurrence (ops/pallas/red_recur.py) vs
-    scanning nn/blocks.ConvGRUCell.recur — same math, one kernel."""
+    scanning nn/blocks.ConvGRUCell.recur — same math, one kernel.  The cell
+    input conv (x_contrib) now runs in-kernel, so the kernel consumes the
+    raw x; covers cin == c and the stage-1 cin > c case."""
     from satmvs_tpu.nn.blocks import ConvGRUCell
     from satmvs_tpu.ops.pallas.red_recur import cell_params_matrices, red_recur
 
     rng = np.random.default_rng(3)
-    for c, d, h, w in ((8, 5, 16, 24), (16, 3, 8, 16)):
+    for c, cin, d, h, w in ((8, 8, 5, 16, 24), (16, 16, 3, 8, 16),
+                            (8, 32, 3, 16, 24)):
         cell = ConvGRUCell(c)
         params = cell.init(
             jax.random.PRNGKey(c),
-            jnp.zeros((1, h, w, c)), jnp.zeros((1, h, w, c)),
+            jnp.zeros((1, h, w, cin)), jnp.zeros((1, h, w, c)),
         )["params"]
         # random (non-degenerate) GN affine + biases
         params = jax.tree.map(
             lambda p: jnp.asarray(rng.normal(0.1, 0.5, p.shape).astype(np.float32)),
             params,
         )
-        xc = jnp.asarray(rng.normal(size=(d, h, w, 3 * c)).astype(np.float32))
+        x = jnp.asarray(rng.normal(size=(d, h, w, cin)).astype(np.float32))
+        xc = cell.apply({"params": params}, x, method=ConvGRUCell.x_contrib)
 
         hs = jnp.zeros((1, h, w, c))
         want = []
@@ -162,10 +166,10 @@ def test_red_recur_kernel_matches_xla_scan():
                 {"params": params}, xc[i][None], hs, method=ConvGRUCell.recur
             )
             want.append(np.asarray(out[0]))
-        got = red_recur(xc, *cell_params_matrices(params), interpret=True)
+        got = red_recur(x, *cell_params_matrices(params), interpret=True)
         np.testing.assert_allclose(
             np.asarray(got), np.stack(want), atol=2e-5,
-            err_msg=f"c={c}",
+            err_msg=f"c={c} cin={cin}",
         )
 
 
@@ -174,20 +178,24 @@ def test_red_recur_gradient_matches_scan():
     match autodiff through a plain lax.scan of the same cell math."""
     from satmvs_tpu.ops.pallas.red_recur import _cell_step, red_recur
 
-    c, d, h, w = 8, 4, 16, 24
+    c, cin, d, h, w = 8, 12, 4, 16, 24
     rng = np.random.default_rng(11)
-    xc = jnp.asarray(rng.normal(size=(d, h, w, 3 * c)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(d, h, w, cin)).astype(np.float32))
+    wx = jnp.asarray(rng.normal(0, 0.3, (3, 3, cin, 3 * c)).astype(np.float32))
     wh = jnp.asarray(rng.normal(0, 0.3, (3, 3, c, 2 * c)).astype(np.float32))
     bh = jnp.asarray(rng.normal(0, 0.3, (2 * c,)).astype(np.float32))
     wc = jnp.asarray(rng.normal(0, 0.3, (3, 3, c, c)).astype(np.float32))
     bc = jnp.asarray(rng.normal(0, 0.3, (c,)).astype(np.float32))
     gn = jnp.asarray(rng.normal(0.5, 0.3, (6, c)).astype(np.float32))
+    args0 = (x, wx, wh, bh, wc, bc, gn)
+    argnums = tuple(range(7))
+    names = "x wx wh bh wc bc gn".split()
 
-    def ref_outs(xc, wh, bh, wc, bc, gn):
-        def step(hst, x):
-            hn = _cell_step(hst, x, wh, bh, wc, bc, gn)
+    def ref_outs(x, wx, wh, bh, wc, bc, gn):
+        def step(hst, x_d):
+            hn = _cell_step(hst, x_d, wx, wh, bh, wc, bc, gn)
             return hn, hn
-        _, outs = jax.lax.scan(step, jnp.zeros((h, w, c)), xc)
+        _, outs = jax.lax.scan(step, jnp.zeros((h, w, c)), x)
         return outs
 
     def loss_ref(*args):
@@ -196,9 +204,9 @@ def test_red_recur_gradient_matches_scan():
     def loss_fused(*args):
         return jnp.sum(jnp.sin(red_recur(*args, interpret=True)))
 
-    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5))(xc, wh, bh, wc, bc, gn)
-    g_fus = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4, 5))(xc, wh, bh, wc, bc, gn)
-    for a, b, name in zip(g_fus, g_ref, "xc wh bh wc bc gn".split()):
+    g_ref = jax.grad(loss_ref, argnums=argnums)(*args0)
+    g_fus = jax.grad(loss_fused, argnums=argnums)(*args0)
+    for a, b, name in zip(g_fus, g_ref, names):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=3e-4, rtol=1e-3, err_msg=name
         )
@@ -209,12 +217,13 @@ def test_red_recur_gradient_matches_scan():
     cap = rr._BWD_VMEM_CAP
     try:
         rr._BWD_VMEM_CAP = 0
-        g_fb = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4, 5))(
-            xc, wh, bh, wc, bc, gn
-        )
+        rr_stream_cap = rr._STREAM_VMEM_CAP
+        rr._STREAM_VMEM_CAP = 0
+        g_fb = jax.grad(loss_fused, argnums=argnums)(*args0)
     finally:
         rr._BWD_VMEM_CAP = cap
-    for a, b, name in zip(g_fb, g_ref, "xc wh bh wc bc gn".split()):
+        rr._STREAM_VMEM_CAP = rr_stream_cap
+    for a, b, name in zip(g_fb, g_ref, names):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=3e-4, rtol=1e-3,
             err_msg=f"fallback {name}",
@@ -224,13 +233,11 @@ def test_red_recur_gradient_matches_scan():
     # force its selection by zeroing only the dense cap
     try:
         rr._BWD_VMEM_CAP = 0
-        assert rr._stream_vmem_bytes(d, h, w, c) <= rr._STREAM_VMEM_CAP
-        g_st = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4, 5))(
-            xc, wh, bh, wc, bc, gn
-        )
+        assert rr._stream_vmem_bytes(d, h, w, c, cin) <= rr._STREAM_VMEM_CAP
+        g_st = jax.grad(loss_fused, argnums=argnums)(*args0)
     finally:
         rr._BWD_VMEM_CAP = cap
-    for a, b, name in zip(g_st, g_ref, "xc wh bh wc bc gn".split()):
+    for a, b, name in zip(g_st, g_ref, names):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=3e-4, rtol=1e-3,
             err_msg=f"streamed {name}",
