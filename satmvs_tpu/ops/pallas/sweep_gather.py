@@ -55,7 +55,7 @@ class _TileGeom:
     transpose (the scatter kernel) — one implementation so forward taps and
     backward taps can never drift apart."""
 
-    def __init__(self, x, y, tile_row0, *, kv, ks, height, width):
+    def __init__(self, x, y, tile_row0, *, kv, ks, height, width, bases=None):
         bh = BLOCK_ROWS
         x0f = jnp.floor(x)
         y0f = jnp.floor(y)
@@ -70,30 +70,39 @@ class _TileGeom:
         rel_x = x0 - jj                      # horizontal offset field
         rel_y = y0 - (ii + tile_row0)        # vertical offset field
 
-        # per-tile integer bases (ignore far-out-of-image samples when
-        # choosing the base so border tiles still cover their valid points)
-        big = jnp.int32(10**9)
         valid_any = (x0 >= -1) & (x0 <= width - 1) & (y0 >= -1) & (y0 <= height - 1)
         self.valid_any = valid_any
-        col_base = jnp.min(jnp.where(valid_any, rel_x, big))
-        row_base = jnp.min(jnp.where(valid_any, rel_y, big))
-        col_base = jnp.where(col_base == big, 0, col_base)
-        row_base = jnp.where(row_base == big, 0, row_base)
 
-        # window placement in the padded (H, C, W) source: row offset is
-        # free (untiled leading dim); column offset must be 128-aligned with
-        # the residual rolled out of the patch.
         self.kh = bh + kv
         wp = width + ks
         self.wpp = _round_up(wp + 128, 128)
         h_tot = height + 2 * VPAD
         w_tot = width + 2 * PAD
-        self.row_start = jnp.clip(tile_row0 + row_base + VPAD, 0, h_tot - self.kh)
-        col_start = jnp.clip(col_base + PAD, 0, w_tot - wp)
-        self.col_start128 = pl.multiple_of(
-            jnp.clip((col_start // 128) * 128, 0, w_tot - self.wpp), 128
-        )
-        self.rc = col_start - self.col_start128        # ∈ [0, 128]
+        if bases is not None:
+            # precomputed window placement (tile_bases, XLA side) — same
+            # integer math, passed in via scalar prefetch so kernels can
+            # prefetch the NEXT program's window and skip the reductions
+            self.row_start, cs128, self.rc = bases
+            self.col_start128 = pl.multiple_of(cs128, 128)
+            col_start = self.col_start128 + self.rc
+        else:
+            # per-tile integer bases (ignore far-out-of-image samples when
+            # choosing the base so border tiles still cover their valid points)
+            big = jnp.int32(10**9)
+            col_base = jnp.min(jnp.where(valid_any, rel_x, big))
+            row_base = jnp.min(jnp.where(valid_any, rel_y, big))
+            col_base = jnp.where(col_base == big, 0, col_base)
+            row_base = jnp.where(row_base == big, 0, row_base)
+
+            # window placement in the padded (H, C, W) source: row offset is
+            # free (untiled leading dim); column offset must be 128-aligned
+            # with the residual rolled out of the patch.
+            self.row_start = jnp.clip(tile_row0 + row_base + VPAD, 0, h_tot - self.kh)
+            col_start = jnp.clip(col_base + PAD, 0, w_tot - wp)
+            self.col_start128 = pl.multiple_of(
+                jnp.clip((col_start // 128) * 128, 0, w_tot - self.wpp), 128
+            )
+            self.rc = col_start - self.col_start128    # ∈ [0, 128]
 
         # effective bases after clamping (clamps only matter when the needed
         # window exceeds the image/pad range, where weights are 0 anyway)
@@ -136,6 +145,46 @@ class _TileGeom:
 FAST_STENCIL = 4  # tap half-width of the in-kernel fast path
 
 
+def tile_bases(xs: jnp.ndarray, ys: jnp.ndarray, height: int, width: int,
+               kv: int, ks: int):
+    """XLA mirror of `_TileGeom`'s window placement for every (plane, tile).
+
+    Returns (row_start, col_start128, rc), each (D, n_tiles) int32 — pure
+    integer math on floor() of the same fp32 coordinates, so the values are
+    bit-identical to what `_TileGeom` would compute in-kernel.  Passed to the
+    kernels via scalar prefetch, they let each program start the DMA of the
+    NEXT program's source window while it computes (double-buffered pipeline)
+    — the window placement must be known before the coordinate tile arrives
+    in VMEM, hence this host/XLA-side precomputation.
+    """
+    d = xs.shape[0]
+    bh = BLOCK_ROWS
+    n_tiles = height // bh
+    x0 = jnp.floor(xs).astype(jnp.int32).reshape(d, n_tiles, bh, width)
+    y0 = jnp.floor(ys).astype(jnp.int32).reshape(d, n_tiles, bh, width)
+    jj = jnp.arange(width, dtype=jnp.int32)[None, None, None, :]
+    ii = (jnp.arange(height, dtype=jnp.int32).reshape(n_tiles, bh))[None, :, :, None]
+    rel_x = x0 - jj
+    rel_y = y0 - ii                              # ii is the absolute row
+    valid = (x0 >= -1) & (x0 <= width - 1) & (y0 >= -1) & (y0 <= height - 1)
+    big = jnp.int32(10**9)
+    col_base = jnp.min(jnp.where(valid, rel_x, big), axis=(2, 3))
+    row_base = jnp.min(jnp.where(valid, rel_y, big), axis=(2, 3))
+    col_base = jnp.where(col_base == big, 0, col_base)
+    row_base = jnp.where(row_base == big, 0, row_base)
+    kh = bh + kv
+    wp = width + ks
+    wpp = _round_up(wp + 128, 128)
+    h_tot = height + 2 * VPAD
+    w_tot = width + 2 * PAD
+    tile_row0 = (jnp.arange(n_tiles, dtype=jnp.int32) * bh)[None, :]
+    row_start = jnp.clip(tile_row0 + row_base + VPAD, 0, h_tot - kh)
+    col_start = jnp.clip(col_base + PAD, 0, w_tot - wp)
+    col_start128 = jnp.clip((col_start // 128) * 128, 0, w_tot - wpp)
+    rc = col_start - col_start128
+    return row_start, col_start128, rc
+
+
 def _gather_taps(geom, patch, out_ref, *, kv, ks, bh, channels, width):
     acc = jnp.zeros((bh, channels, width), jnp.float32)
     for dv in range(kv + 1):
@@ -148,26 +197,50 @@ def _gather_taps(geom, patch, out_ref, *, kv, ks, bh, channels, width):
 
 
 def _sweep_gather_kernel(
-    x_ref, y_ref, src_hbm, out_ref, patch_ref, sem,
+    rs_ref, cs_ref, rc_ref, x_ref, y_ref, src_hbm, out_ref, patch_ref, sems,
     *, kv: int, ks: int, height: int, width: int, channels: int,
+    n_d: int, n_tiles: int,
 ):
+    """Double-buffered: program p computes its taps while the DMA of program
+    p+1's source window (placement from the scalar-prefetched `tile_bases`)
+    is in flight into the other buffer slot."""
     bh = BLOCK_ROWS
+    di = pl.program_id(0)
     t = pl.program_id(1)
     tile_row0 = t * bh
+    kh = bh + kv
+    wpp = _round_up(width + ks + 128, 128)
+
+    p = di * n_tiles + t
+    slot = jax.lax.rem(p, 2)
+
+    def dma_for(slot_, dd, tt):
+        rs = rs_ref[dd, tt]
+        cs = pl.multiple_of(cs_ref[dd, tt], 128)
+        return pltpu.make_async_copy(
+            src_hbm.at[pl.ds(rs, kh), :, pl.ds(cs, wpp)],
+            patch_ref.at[slot_],
+            sems.at[slot_],
+        )
+
+    @pl.when(p == 0)
+    def _():
+        dma_for(0, di, t).start()
+
+    @pl.when(p + 1 < n_d * n_tiles)
+    def _():
+        nd = jax.lax.div(p + 1, n_tiles)
+        nt = jax.lax.rem(p + 1, n_tiles)
+        dma_for(1 - slot, nd, nt).start()
 
     geom = _TileGeom(x_ref[0], y_ref[0], tile_row0,
-                     kv=kv, ks=ks, height=height, width=width)
-    kh, wpp, rc = geom.kh, geom.wpp, geom.rc
+                     kv=kv, ks=ks, height=height, width=width,
+                     bases=(rs_ref[di, t], cs_ref[di, t], rc_ref[di, t]))
+    rc = geom.rc
 
-    dma = pltpu.make_async_copy(
-        src_hbm.at[pl.ds(geom.row_start, kh), :, pl.ds(geom.col_start128, wpp)],
-        patch_ref,
-        sem,
-    )
-    dma.start()
-    dma.wait()
+    dma_for(slot, di, t).wait()
 
-    patch = patch_ref[:]                              # (kh, C, wpp)
+    patch = patch_ref[slot]                           # (kh, C, wpp)
     # dynamic roll shifts must be non-negative (negative traced shifts
     # miscompute silently) — roll left by rc via a right-roll of wpp − rc.
     patch = pltpu.roll(patch, wpp - rc, 2)
@@ -208,31 +281,40 @@ def _sweep_gather_impl(src: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
     src_pad = jnp.pad(src_hcw, ((VPAD, VPAD), (0, 0), (PAD, PAD)))
 
     n_tiles = h // BLOCK_ROWS
+    row_start, col_start128, rc = tile_bases(xs, ys, h, w, kv, ks)
     kernel = functools.partial(
         _sweep_gather_kernel, kv=kv, ks=ks, height=h, width=w, channels=c,
+        n_d=d, n_tiles=n_tiles,
     )
     out = pl.pallas_call(
         kernel,
-        grid=(d, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, BLOCK_ROWS, w), lambda di, ti: (di, ti, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_ROWS, w), lambda di, ti: (di, ti, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
-        out_specs=pl.BlockSpec((1, BLOCK_ROWS, c, w), lambda di, ti: (di, ti, 0, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(d, n_tiles),
+            in_specs=[
+                pl.BlockSpec((1, BLOCK_ROWS, w), lambda di, ti, *_: (di, ti, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BLOCK_ROWS, w), lambda di, ti, *_: (di, ti, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ],
+            out_specs=pl.BlockSpec((1, BLOCK_ROWS, c, w),
+                                   lambda di, ti, *_: (di, ti, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM(
+                    (2, BLOCK_ROWS + kv, c, _round_up(w + ks + 128, 128)),
+                    jnp.float32,
+                ),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
         out_shape=jax.ShapeDtypeStruct((d, h, c, w), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM(
-                (BLOCK_ROWS + kv, c, _round_up(w + ks + 128, 128)),
-                jnp.float32,
-            ),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
         interpret=interpret,
-    )(xs, ys, src_pad)
+    )(row_start, col_start128, rc, xs, ys, src_pad)
     return jnp.swapaxes(out, 2, 3)                          # (D, H, W, C)
 
 

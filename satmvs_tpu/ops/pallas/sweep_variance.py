@@ -32,28 +32,44 @@ from .sweep_gather import (
 
 
 def _sweep_variance_kernel(
-    x_ref, y_ref, ref_tile, srcs_hbm, out_ref, patch_ref, warped_ref, sems,
+    rs_ref, cs_ref, rc_ref, x_ref, y_ref, ref_tile, srcs_hbm, out_ref,
+    patch_ref, warped_ref, sems,
     *, kv: int, ks: int, height: int, width: int, channels: int, n_src: int,
+    n_d: int, n_tiles: int,
 ):
     bh = BLOCK_ROWS
+    di = pl.program_id(0)
     t = pl.program_id(1)
     tile_row0 = t * bh
     kh = bh + kv
     wpp = _round_up(width + ks + 128, 128)
 
-    # ---- per-view window placement + DMA launch (overlapped across views)
-    geoms = []
-    for s in range(n_src):
-        geom = _TileGeom(x_ref[s, 0], y_ref[s, 0], tile_row0,
-                         kv=kv, ks=ks, height=height, width=width)
-        dma = pltpu.make_async_copy(
-            srcs_hbm.at[s, pl.ds(geom.row_start, kh), :,
-                        pl.ds(geom.col_start128, wpp)],
-            patch_ref.at[s],
-            sems.at[s],
+    # ---- double-buffered window DMA: program p's windows were launched by
+    # program p−1 from the scalar-prefetched placements (tile_bases); this
+    # program launches p+1's into the other slot before computing.
+    p = di * n_tiles + t
+    slot = jax.lax.rem(p, 2)
+
+    def dma_for(slot_, s, dd, tt):
+        rs = rs_ref[s, dd, tt]
+        cs = pl.multiple_of(cs_ref[s, dd, tt], 128)
+        return pltpu.make_async_copy(
+            srcs_hbm.at[s, pl.ds(rs, kh), :, pl.ds(cs, wpp)],
+            patch_ref.at[slot_, s],
+            sems.at[slot_, s],
         )
-        dma.start()
-        geoms.append((dma, geom))
+
+    @pl.when(p == 0)
+    def _():
+        for s in range(n_src):
+            dma_for(0, s, di, t).start()
+
+    @pl.when(p + 1 < n_d * n_tiles)
+    def _():
+        nd = jax.lax.div(p + 1, n_tiles)
+        nt = jax.lax.rem(p + 1, n_tiles)
+        for s in range(n_src):
+            dma_for(1 - slot, s, nd, nt).start()
 
     # ---- moments, seeded with the reference view's tile
     rt = ref_tile[:]                               # (BH, C, W)
@@ -61,9 +77,12 @@ def _sweep_variance_kernel(
     acc_sq = (rt * rt).astype(jnp.float32)
 
     for s in range(n_src):
-        dma, geom = geoms[s]
-        dma.wait()
-        patch = patch_ref[s]
+        geom = _TileGeom(x_ref[s, 0], y_ref[s, 0], tile_row0,
+                         kv=kv, ks=ks, height=height, width=width,
+                         bases=(rs_ref[s, di, t], cs_ref[s, di, t],
+                                rc_ref[s, di, t]))
+        dma_for(slot, s, di, t).wait()
+        patch = patch_ref[slot, s]
         patch = pltpu.roll(patch, wpp - geom.rc, 2)
 
         def taps(kv_, ks_):
@@ -122,35 +141,50 @@ def _sweep_variance_impl(ref: jnp.ndarray, srcs: jnp.ndarray, xs: jnp.ndarray, y
     srcs_pad = jnp.pad(srcs_hcw, ((0, 0), (VPAD, VPAD), (0, 0), (PAD, PAD)))
 
     n_tiles = h // BLOCK_ROWS
+    from .sweep_gather import tile_bases
+
+    bases = [tile_bases(xs[s], ys[s], h, w, kv, ks) for s in range(n_src)]
+    row_start = jnp.stack([b[0] for b in bases])              # (S, D, T)
+    col_start128 = jnp.stack([b[1] for b in bases])
+    rc = jnp.stack([b[2] for b in bases])
     kernel = functools.partial(
         _sweep_variance_kernel, kv=kv, ks=ks, height=h, width=w, channels=c,
-        n_src=n_src,
+        n_src=n_src, n_d=d, n_tiles=n_tiles,
     )
     out = pl.pallas_call(
         kernel,
-        grid=(d, n_tiles),
-        in_specs=[
-            pl.BlockSpec((n_src, 1, BLOCK_ROWS, w), lambda di, ti: (0, di, ti, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_src, 1, BLOCK_ROWS, w), lambda di, ti: (0, di, ti, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_ROWS, c, w), lambda di, ti: (ti, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
-        out_specs=pl.BlockSpec((1, BLOCK_ROWS, c, w), lambda di, ti: (di, ti, 0, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(d, n_tiles),
+            in_specs=[
+                pl.BlockSpec((n_src, 1, BLOCK_ROWS, w),
+                             lambda di, ti, *_: (0, di, ti, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_src, 1, BLOCK_ROWS, w),
+                             lambda di, ti, *_: (0, di, ti, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BLOCK_ROWS, c, w), lambda di, ti, *_: (ti, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ],
+            out_specs=pl.BlockSpec((1, BLOCK_ROWS, c, w),
+                                   lambda di, ti, *_: (di, ti, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM(
+                    (2, n_src, BLOCK_ROWS + kv, c, _round_up(w + ks + 128, 128)),
+                    jnp.float32,
+                ),
+                pltpu.VMEM((BLOCK_ROWS, c, w), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, n_src)),
+            ],
+        ),
         out_shape=jax.ShapeDtypeStruct((d, h, c, w), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM(
-                (n_src, BLOCK_ROWS + kv, c, _round_up(w + ks + 128, 128)),
-                jnp.float32,
-            ),
-            pltpu.VMEM((BLOCK_ROWS, c, w), jnp.float32),
-            pltpu.SemaphoreType.DMA((n_src,)),
-        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
         interpret=interpret,
-    )(xs, ys, ref_hcw, srcs_pad)
+    )(row_start, col_start128, rc, xs, ys, ref_hcw, srcs_pad)
     return jnp.swapaxes(out, 2, 3)                            # (D, H, W, C)
 
 
