@@ -74,7 +74,7 @@ def stage_hypotheses(
 
 
 def build_stage_volume(geo_model: str, feats, cams, hyps, fused: bool = False,
-                       stencil: int = 8):
+                       stencil: int = 8, convention: str = "exact"):
     """(B, V, h, w, C) features + cameras + (B, D, h, w) hypotheses →
     (B, D, h, w, C) variance cost volume (batch via vmap).
 
@@ -101,6 +101,10 @@ def build_stage_volume(geo_model: str, feats, cams, hyps, fused: bool = False,
             ]
             xs = jnp.stack([c[0] for c in coords])
             ys = jnp.stack([c[1] for c in coords])
+            if convention == "torch":
+                from ..ops.sampling import torch_grid_coords
+
+                xs, ys = torch_grid_coords(xs, ys, sh, sw)
             return sweep_variance(feats_b[0], feats_b[1:], xs, ys,
                                   kv=stencil, ks=stencil)
 
@@ -117,7 +121,8 @@ def build_stage_volume(geo_model: str, feats, cams, hyps, fused: bool = False,
             return sweep_variance_volume(
                 feats_b[0],
                 feats_b[1:],
-                lambda sf, s: rpc_warp(sf, cams_b, s, hyps_b, stencil=stencil),
+                lambda sf, s: rpc_warp(sf, cams_b, s, hyps_b, stencil=stencil,
+                                       convention=convention),
             )
 
     else:
@@ -127,7 +132,7 @@ def build_stage_volume(geo_model: str, feats, cams, hyps, fused: bool = False,
                 feats_b[0],
                 feats_b[1:],
                 lambda sf, s: homo_warp(sf, projs_b[s + 1], projs_b[0], hyps_b,
-                                        stencil=stencil),
+                                        stencil=stencil, convention=convention),
             )
 
     return jax.vmap(one)(feats, cams, hyps)
@@ -169,6 +174,13 @@ class CascadeModel(nn.Module):
     # counts (the memory-frugality analog of the reference's streaming trick,
     # on the training side).
     remat: bool = False
+    # Reference-compat numerics for converted checkpoints: (a) sample warped
+    # features at the positions the reference's grid_sample(align_corners=
+    # False) actually reads (a x·W/(W−1)−0.5 stretch, warping.py:350-358),
+    # (b) reproduce its full-res-then-trilinear-downsample hypothesis chain
+    # for the window sampler (casred.py:133-145).  Default off — the native
+    # mode samples at the geometrically correct location instead.
+    torch_compat: bool = False
 
     @nn.compact
     def __call__(self, imgs, cams, depth_values, train: bool = False):
@@ -210,11 +222,31 @@ class CascadeModel(nn.Module):
             interval = self.depth_intervals_ratio[i] * self.min_interval
 
             # ---- hypothesis generation (at stage resolution)
-            hyps = stage_hypotheses(
-                nd, sh, sw, d_min, d_max, interval,
-                depth=depth, exp_var=exp_var, sampler=self.sampler,
-                detach=(self.grad_method == "detach"),
-            )
+            if (self.torch_compat and self.sampler == "window"
+                    and depth is not None):
+                # reference chain: prev depth → bilinear up to FULL res →
+                # per-pixel window → trilinear down to stage res
+                # (casred.py:133-145, casmvs.py:146-165); the up-then-down
+                # detour slightly smooths vs our direct-at-stage-res path.
+                prev = (jax.lax.stop_gradient(depth)
+                        if self.grad_method == "detach" else depth)
+                cur_full = jax.vmap(
+                    lambda x: depth_range.upsample_map(x, height, width)
+                )(prev)
+                hyps_full = jax.vmap(
+                    lambda c: depth_range.window_samples(c, nd, interval)
+                )(cur_full)
+                hyps = jax.vmap(
+                    lambda v: jax.image.resize(v, (nd, sh, sw),
+                                               method="trilinear",
+                                               antialias=False)
+                )(hyps_full)
+            else:
+                hyps = stage_hypotheses(
+                    nd, sh, sw, d_min, d_max, interval,
+                    depth=depth, exp_var=exp_var, sampler=self.sampler,
+                    detach=(self.grad_method == "detach"),
+                )
 
             # ---- cost volume + regularization
             # fused one-kernel volume at inference; training keeps the
@@ -225,6 +257,7 @@ class CascadeModel(nn.Module):
             volume = build_stage_volume(
                 self.geo_model, stage_feats[i], cams[i], hyps,
                 fused=not train, stencil=self.sweep_stencil,
+                convention="torch" if self.torch_compat else "exact",
             )
             if self.volume_partition is not None:
                 volume = jax.lax.with_sharding_constraint(volume, self.volume_partition)

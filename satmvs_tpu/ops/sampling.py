@@ -64,6 +64,19 @@ def bilinear_sample(feat: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.nd
     return out.reshape(*shape, c)
 
 
+def torch_grid_coords(x: jnp.ndarray, y: jnp.ndarray, height: int, width: int):
+    """Map exact pixel coordinates to the positions the reference actually
+    samples: it normalizes by (W−1)/2 and calls
+    `grid_sample(align_corners=False)` (/root/reference/modules/warping.py:
+    350-358), which reads the input at x·W/(W−1) − 0.5.  Used by the
+    `torch_compat` model mode so converted reference checkpoints see the
+    sampling geometry they were trained under."""
+    return (
+        x * (width / (width - 1.0)) - 0.5,
+        y * (height / (height - 1.0)) - 0.5,
+    )
+
+
 def bilinear_sample_scalar(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray, fill: float = 0.0):
     """Bilinear sample of a single-channel (H, W) image with constant fill
     outside (the `cv2.remap(..., borderValue=fill)` of the fusion filter,

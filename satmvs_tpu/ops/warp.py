@@ -158,7 +158,8 @@ def _use_pallas_gather(height: int) -> bool:
 
 
 def rpc_warp(src_feat: jnp.ndarray, cams: RpcWarpCams, src_index, depth_values: jnp.ndarray,
-             method: str = "auto", coords: str = "auto", stencil: int = 8):
+             method: str = "auto", coords: str = "auto", stencil: int = 8,
+             convention: str = "exact"):
     """RPC plane-sweep warp of one source feature map.
 
     src_feat: (H, W, C) — the source view's features at this stage's scale.
@@ -170,6 +171,10 @@ def rpc_warp(src_feat: jnp.ndarray, cams: RpcWarpCams, src_index, depth_values: 
     stencil: tap half-width of the Pallas gather (and its scatter adjoint);
             4 is ~2x faster than 8 and exact whenever
             `sweep_coverage_misses(..., stencil=4)` is all-zero.
+    convention: "exact" samples at the true projected pixel location; "torch"
+            reproduces the reference's grid_sample(align_corners=False)
+            stretch (see ops/sampling.torch_grid_coords) for checkpoint-exact
+            behavior.
     Returns (D, H, W, C).  TPU analog of /root/reference/modules/warping.py:310-365.
     """
     h, w, _ = src_feat.shape
@@ -184,6 +189,10 @@ def rpc_warp(src_feat: jnp.ndarray, cams: RpcWarpCams, src_index, depth_values: 
         x_src, y_src = jax.lax.stop_gradient(
             rpc_sweep_coords(cams, src_index, depth_values, h, w)
         )
+    if convention == "torch":
+        from .sampling import torch_grid_coords
+
+        x_src, y_src = torch_grid_coords(x_src, y_src, h, w)
     if method == "pallas" or (method == "auto" and _use_pallas_gather(h)):
         from .pallas.sweep_gather import sweep_gather
 
@@ -299,12 +308,16 @@ def homo_sweep_coords(src_proj: jnp.ndarray, ref_proj: jnp.ndarray, depth_values
 
 
 def homo_warp(src_feat: jnp.ndarray, src_proj: jnp.ndarray, ref_proj: jnp.ndarray, depth_values: jnp.ndarray,
-              method: str = "auto", stencil: int = 8):
+              method: str = "auto", stencil: int = 8, convention: str = "exact"):
     """Homography plane-sweep warp: (H, W, C) → (D, H, W, C)."""
     h, w, _ = src_feat.shape
     x_src, y_src = jax.lax.stop_gradient(
         homo_sweep_coords(src_proj, ref_proj, depth_values, h, w)
     )
+    if convention == "torch":
+        from .sampling import torch_grid_coords
+
+        x_src, y_src = torch_grid_coords(x_src, y_src, h, w)
     if method == "pallas" or (method == "auto" and _use_pallas_gather(h)):
         from .pallas.sweep_gather import sweep_gather
 
