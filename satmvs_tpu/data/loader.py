@@ -87,11 +87,14 @@ class Loader:
             return
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        error: list[BaseException] = []
 
         def worker():
             try:
                 for b in self._batches():
                     q.put(b)
+            except BaseException as exc:  # re-raised on the consumer thread
+                error.append(exc)
             finally:
                 q.put(sentinel)
 
@@ -100,6 +103,8 @@ class Loader:
         while True:
             item = q.get()
             if item is sentinel:
+                if error:
+                    raise error[0]
                 break
             yield item
 

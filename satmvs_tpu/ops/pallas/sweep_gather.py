@@ -504,6 +504,11 @@ def count_misses(xs: jnp.ndarray, ys: jnp.ndarray, height: int, width: int,
     d = xs.shape[0]
     bh = BLOCK_ROWS
     n_tiles = height // bh
+    # single source of truth for window placement: the same tile_bases the
+    # kernels scalar-prefetch (col_start = col_start128 + rc)
+    row_start, col_start128, rc = tile_bases(xs, ys, height, width, kv, ks)
+    row_start = row_start[:, :, None, None]
+    col_start = (col_start128 + rc)[:, :, None, None]
     x0 = jnp.floor(xs).astype(jnp.int32).reshape(d, n_tiles, bh, width)
     y0 = jnp.floor(ys).astype(jnp.int32).reshape(d, n_tiles, bh, width)
     jj = jnp.arange(width, dtype=jnp.int32)[None, None, None, :]
@@ -511,15 +516,7 @@ def count_misses(xs: jnp.ndarray, ys: jnp.ndarray, height: int, width: int,
     rel_x = x0 - jj
     rel_y = y0 - ii
     valid = (x0 >= -1) & (x0 <= width - 1) & (y0 >= -1) & (y0 <= height - 1)
-    big = jnp.int32(10**9)
-    col_base = jnp.min(jnp.where(valid, rel_x, big), axis=(2, 3), keepdims=True)
-    row_base = jnp.min(jnp.where(valid, rel_y, big), axis=(2, 3), keepdims=True)
-    col_base = jnp.where(col_base == big, 0, col_base)
-    row_base = jnp.where(row_base == big, 0, row_base)
-    kh = bh + kv
     tile_row0 = (jnp.arange(n_tiles, dtype=jnp.int32) * bh)[None, :, None, None]
-    row_start = jnp.clip(tile_row0 + row_base + VPAD, 0, height + 2 * VPAD - kh)
-    col_start = jnp.clip(col_base + PAD, 0, width + 2 * PAD - (width + ks))
     dv_idx = rel_y - (row_start - VPAD - tile_row0)
     ds_idx = rel_x - (col_start - PAD)
     covered = (dv_idx >= 0) & (dv_idx + 1 <= kv) & (ds_idx >= 0) & (ds_idx + 1 <= ks)

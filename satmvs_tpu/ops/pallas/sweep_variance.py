@@ -27,7 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .sweep_gather import (
-    BLOCK_ROWS, FAST_STENCIL, PAD, VPAD, _TileGeom, _round_up,
+    BLOCK_ROWS, FAST_STENCIL, PAD, VPAD, _TileGeom, _round_up, tile_bases,
 )
 
 
@@ -141,8 +141,6 @@ def _sweep_variance_impl(ref: jnp.ndarray, srcs: jnp.ndarray, xs: jnp.ndarray, y
     srcs_pad = jnp.pad(srcs_hcw, ((0, 0), (VPAD, VPAD), (0, 0), (PAD, PAD)))
 
     n_tiles = h // BLOCK_ROWS
-    from .sweep_gather import tile_bases
-
     bases = [tile_bases(xs[s], ys[s], h, w, kv, ks) for s in range(n_src)]
     row_start = jnp.stack([b[0] for b in bases])              # (S, D, T)
     col_start128 = jnp.stack([b[1] for b in bases])

@@ -121,13 +121,6 @@ def main():
                 return fn(x + c * 1e-12).ravel()[0]
             return step
 
-        def mk_bwd(fn):
-            g = jax.grad(lambda xx, ww: jnp.sum(fn(xx) * 1e-6), argnums=0)
-
-            def step(c):
-                return g(x + c * 1e-12, wk).ravel()[0]
-            return step
-
         tb_f = _time_step(mk_fwd(base))
         tg_f = _time_step(mk_fwd(grp))
 

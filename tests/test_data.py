@@ -168,3 +168,28 @@ def test_dataset_gt_mask_consistency(synth_root):
     ds = MVSDataset(synth_root, "test", view_num=3)
     s = ds[0]
     assert s["mask_stages"][2].mean() > 0.99
+
+
+def test_loader_propagates_worker_exceptions():
+    """A raising __getitem__ must fail the consuming iteration loudly, not
+    silently truncate the epoch (the prefetch worker runs on a thread)."""
+
+    class Exploding:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            if i >= 2:
+                raise RuntimeError("corrupt sample")
+            return {
+                "imgs": np.zeros((1, 8, 8, 3), np.float32),
+                "cams": (np.zeros((1, 4, 4), np.float32),),
+                "depth_values": np.zeros(2, np.float32),
+                "out_view": "0",
+                "out_name": f"s{i}",
+            }
+
+    ld = loader.Loader(Exploding(), batch_size=1, prefetch=2)
+    with pytest.raises(RuntimeError, match="corrupt sample"):
+        for _ in ld:
+            pass

@@ -314,3 +314,28 @@ def test_sweep_gather_dual_path_mixed_tiles():
     dsrc = sg._sweep_scatter_impl(g, xs, ys, H, W, 8, 8, True)
     dref = sg._bilinear_scatter(g, xs, ys, H, W)
     np.testing.assert_allclose(np.asarray(dsrc), np.asarray(dref), atol=2e-5)
+
+
+def test_tile_bases_matches_in_kernel_placement():
+    """tile_bases (the XLA mirror the kernels scalar-prefetch, also consumed
+    by count_misses) must equal the in-kernel _TileGeom bases=None placement
+    on arbitrary coords — the forward DMA windows and the backward scatter's
+    in-kernel derivation must never drift apart."""
+    H, W, D = 32, 64, 3
+    rng = np.random.default_rng(7)
+    # wild coords: in-bounds, out-of-bounds, and far-out-of-image points
+    xs = jnp.asarray(rng.uniform(-30, W + 30, size=(D, H, W)).astype(np.float32))
+    ys = jnp.asarray(rng.uniform(-30, H + 30, size=(D, H, W)).astype(np.float32))
+    for kv, ks in ((8, 8), (4, 4)):
+        rs, cs128, rc = [np.asarray(v)
+                         for v in sg.tile_bases(xs, ys, H, W, kv, ks)]
+        n_tiles = H // sg.BLOCK_ROWS
+        for d in range(D):
+            for t in range(n_tiles):
+                r0 = t * sg.BLOCK_ROWS
+                geom = sg._TileGeom(
+                    xs[d, r0:r0 + sg.BLOCK_ROWS], ys[d, r0:r0 + sg.BLOCK_ROWS],
+                    r0, kv=kv, ks=ks, height=H, width=W)
+                assert int(geom.row_start) == rs[d, t], (d, t, kv)
+                assert int(geom.col_start128) == cs128[d, t], (d, t, kv)
+                assert int(geom.rc) == rc[d, t], (d, t, kv)
