@@ -25,6 +25,7 @@ import os
 import numpy as np
 
 from ..geo import pinhole as pinlib
+from ..geo import rpc as rpclib
 from ..ops import warp as warplib
 from . import formats, preprocess, samples
 
@@ -42,6 +43,9 @@ class MVSDataset:
         geo_model: str = "rpc",
         num_stage: int = 3,
         seed: int = 0,
+        use_qc: bool = False,
+        max_h: int = 0,
+        max_w: int = 0,
     ):
         assert mode in ("train", "val", "test", "pred")
         assert geo_model in ("rpc", "pinhole")
@@ -50,6 +54,12 @@ class MVSDataset:
         self.view_num = view_num
         self.geo_model = geo_model
         self.num_stage = num_stage
+        self.use_qc = use_qc  # QC-form RPC warp cams (ref --use_qc)
+        # every view is center-cropped to network-legal dims (multiples of
+        # 32, capped at max_h/max_w when nonzero) with its camera shifted —
+        # ref preprocess.py:72-102 semantics (see crop_to_multiple)
+        self.max_h = max_h
+        self.max_w = max_w
         self.rng = np.random.default_rng(seed)
         ref = -1 if mode == "pred" else ref_view
         self.sample_list = samples.gen_list(root, view_num, ref, geo_model)
@@ -60,17 +70,37 @@ class MVSDataset:
     # ------------------------------------------------------------------
     def _load_views(self, paths):
         imgs, cams_raw = [], []
+        ref_window = None
         for v in range(self.view_num):
             img = formats.read_image(paths[2 * v])
+            if self.geo_model == "rpc":
+                cam = formats.load_rpc(paths[2 * v + 1])[0]
+            else:
+                cam = formats.load_camera_nn(paths[2 * v + 1])
+            img, cam, window = self._crop_view(img, cam)
+            if v == 0:
+                ref_window = window
             if self.mode == "train":
                 img = preprocess.random_color(img, self.rng)
             imgs.append(preprocess.center_image(img))
-            if self.geo_model == "rpc":
-                rpc, _, _ = formats.load_rpc(paths[2 * v + 1])
-                cams_raw.append(rpc)
-            else:
-                cams_raw.append(formats.load_camera_nn(paths[2 * v + 1]))
-        return np.stack(imgs), cams_raw
+            cams_raw.append(cam)
+        return np.stack(imgs), cams_raw, ref_window
+
+    def _crop_view(self, img, cam):
+        """Center-crop one view to network-legal dims, shifting its camera
+        (RPC image offsets / pinhole principal point — ref preprocess.py:
+        94-95 and :144-145)."""
+        sh, sw, nh, nw = preprocess.crop_to_multiple(img, self.max_h, self.max_w)
+        if (sh, sw, nh, nw) == (0, 0, img.shape[0], img.shape[1]):
+            return img, cam, (0, 0, nh, nw)
+        img = img[sh:sh + nh, sw:sw + nw]
+        if self.geo_model == "rpc":
+            cam = rpclib.crop_rpc(cam, sw, sh)
+        else:
+            cam = np.asarray(cam, np.float64).copy()
+            cam[1, 0, 2] -= sw
+            cam[1, 1, 2] -= sh
+        return img, cam, (sh, sw, nh, nw)
 
     def _stage_scales(self):
         return {3: (0.25, 0.5, 1.0), 2: (0.25, 1.0), 1: (0.25,)}[self.num_stage]
@@ -78,6 +108,8 @@ class MVSDataset:
     def _build_cams(self, cams_raw):
         if self.geo_model == "rpc":
             rpcs = np.stack(cams_raw)
+            if self.use_qc:
+                return warplib.build_qc_stage_cams(rpcs, 0, self.num_stage)
             return warplib.build_stage_cams(rpcs, ref_index=0, num_stage=self.num_stage)
         # pinhole: compose K·E in a local object frame
         es = np.stack([c[0] for c in cams_raw])
@@ -106,7 +138,7 @@ class MVSDataset:
     # ------------------------------------------------------------------
     def __getitem__(self, idx: int) -> dict:
         paths = self.sample_list[idx]
-        imgs, cams_raw = self._load_views(paths)
+        imgs, cams_raw, ref_window = self._load_views(paths)
         depth_values = self._depth_range(paths)
 
         sample = {
@@ -118,6 +150,8 @@ class MVSDataset:
         }
         if self.mode != "pred":
             depth = formats.load_pfm(paths[2 * self.view_num])
+            sh, sw, nh, nw = ref_window
+            depth = depth[sh:sh + nh, sw:sw + nw]
             mask = (
                 (depth >= depth_values[0]) & (depth <= depth_values[1])
             ).astype(np.float32)

@@ -197,6 +197,71 @@ def read_image(path: str) -> np.ndarray:
     return arr.astype(np.float32)
 
 
+def scene_size(path: str):
+    """(width, height) of a scene raster without reading pixels
+    (ref data_io.py:169-179).  GDAL when available, PIL otherwise."""
+    if HAS_GDAL:  # pragma: no cover - no GDAL in this image
+        ds = gdal.Open(path)
+        if ds is None:
+            raise IOError(f"GDAL failed to open {path}")
+        w, h = ds.RasterXSize, ds.RasterYSize
+        del ds
+        return w, h
+    from PIL import Image
+
+    with Image.open(path) as img:
+        return img.size
+
+
+def read_scene_image(path: str, x_lu: int = 0, y_lu: int = 0,
+                     x_size: int | None = None, y_size: int | None = None,
+                     tone: object = "auto") -> np.ndarray:
+    """Windowed read of one scene raster band → (H, W) float32.
+
+    The production WHU-TLC scenes are 5120x5120 GeoTIFFs with raw (>8-bit)
+    radiometry read via GDAL with tone mapping (ref data_io.py:181-261:
+    gdal_read_img_tone / gdal_read_img_pipeline).  GDAL path does a true
+    windowed RasterIO; the fallback decodes with PIL (any TIFF/PNG it
+    understands, incl. uint16) and crops.  Multi-band rasters are averaged
+    (ref :198-200).
+
+    tone: "auto" applies the reference's γ=1/2.2 + 0.5/99.5-percentile
+    stretch iff the source is not already 8-bit (the reference applies it to
+    raw GeoTIFFs but reads prepared uint8 PNGs untouched); True/False force.
+    """
+    if HAS_GDAL:  # pragma: no cover - no GDAL in this image
+        ds = gdal.Open(path)
+        if ds is None:
+            raise IOError(f"GDAL failed to open {path}")
+        if x_size is None:
+            x_size = ds.RasterXSize - x_lu
+        if y_size is None:
+            y_size = ds.RasterYSize - y_lu
+        data = ds.ReadAsArray(x_lu, y_lu, x_size, y_size)
+        del ds
+        if data.ndim > 2:
+            data = data.astype(np.float64).mean(axis=0)
+        is_8bit = data.dtype == np.uint8
+    else:
+        from PIL import Image
+
+        with Image.open(path) as img:
+            if x_size is None:
+                x_size = img.size[0] - x_lu
+            if y_size is None:
+                y_size = img.size[1] - y_lu
+            window = img.crop((x_lu, y_lu, x_lu + x_size, y_lu + y_size))
+            data = np.asarray(window)
+        if data.ndim > 2:
+            data = data.astype(np.float64).mean(axis=-1)
+        is_8bit = data.dtype == np.uint8
+    apply_tone = tone is True or (tone == "auto" and not is_8bit)
+    data = data.astype(np.float32)
+    if apply_tone:
+        data = tone_map(data).astype(np.float32)
+    return data
+
+
 def tone_map(data: np.ndarray) -> np.ndarray:
     """γ=1/2.2 + 0.5/99.5-percentile stretch → uint8-range float
     (ref data_io.py:181-214) — for raw GeoTIFF radiometry."""

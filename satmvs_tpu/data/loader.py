@@ -28,7 +28,7 @@ def collate(samples: list[dict]) -> dict:
         "out_name": [s["out_name"] for s in samples],
     }
     first = samples[0]["cams"]
-    if isinstance(first[0], warplib.RpcWarpCams):
+    if isinstance(first[0], (warplib.RpcWarpCams, warplib.QcWarpCams)):
         out["cams"] = tuple(
             warplib.stack_cams([s["cams"][i] for s in samples])
             for i in range(len(first))

@@ -69,10 +69,16 @@ def random_color(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
 def crop_to_multiple(image, max_h: int = 384, max_w: int = 768, base: int = 32):
     """Center-crop window making dims ≤ max and divisible by `base`
     (ref preprocess.py:72-102).  Returns (start_h, start_w, new_h, new_w) —
-    apply to image/height-map and shift the camera with geo.rpc.crop_rpc."""
+    apply to image/height-map and shift the camera with geo.rpc.crop_rpc.
+
+    Deliberate fix vs the reference: its below-max branch rounds *up*
+    (`ceil(h/base)*base`), giving a negative crop start and a corrupt slice
+    for any non-multiple size — here sizes always round DOWN to the largest
+    network-legal crop.  max_h/max_w = 0 disables the size cap."""
     h, w = image.shape[:2]
-    new_h = min(h, max_h) if h > max_h else int(math.ceil(h / base) * base)
-    new_w = min(w, max_w) if w > max_w else int(math.ceil(w / base) * base)
+    new_h = (min(h, max_h) if max_h else h) // base * base
+    new_w = (min(w, max_w) if max_w else w) // base * base
+    assert new_h > 0 and new_w > 0, f"image {h}x{w} smaller than base {base}"
     start_h = int(math.ceil((h - new_h) / 2))
     start_w = int(math.ceil((w - new_w) / 2))
     return start_h, start_w, new_h, new_w

@@ -8,5 +8,6 @@ from .mesh import (  # noqa: F401
     replicate,
     replicated,
     shard_batch,
+    stage_volume_specs,
     volume_spec,
 )

@@ -41,13 +41,16 @@ def init_multihost(coordinator: Optional[str] = None, num_processes: Optional[in
     return len(jax.devices())
 
 
-def make_mesh(data: int = 1, spatial: int = 1, devices=None) -> Mesh:
+def make_mesh(data: int = 1, spatial: int = 1, depth: int = 1, devices=None) -> Mesh:
+    """3-axis mesh: data (batch), spatial (H of images/volumes), depth
+    (depth-hypothesis slabs of cost volumes — SURVEY §2.2's sequence axis).
+    Singleton axes cost nothing; most runs use one or two axes."""
     devices = list(jax.devices()) if devices is None else list(devices)
-    need = data * spatial
+    need = data * spatial * depth
     if len(devices) < need:
         raise ValueError(f"need {need} devices, have {len(devices)}")
-    arr = np.array(devices[:need]).reshape(data, spatial)
-    return Mesh(arr, ("data", "spatial"))
+    arr = np.array(devices[:need]).reshape(data, spatial, depth)
+    return Mesh(arr, ("data", "spatial", "depth"))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -70,10 +73,36 @@ def replicate(tree, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
-def volume_spec(spatial: bool = True) -> P:
+def volume_spec(spatial: bool = True, depth: bool = False) -> P:
     """PartitionSpec for a (B, D, H, W, C) cost volume: batch over 'data',
-    H over 'spatial' (GSPMD adds conv halos as needed)."""
-    return P("data", None, "spatial" if spatial else None, None, None)
+    H over 'spatial', D over 'depth' (GSPMD inserts conv halo exchanges on
+    every sharded conv axis).  Depth-slab sharding fits the 3-D-conv
+    regularizers (casmvs/ucs); the RED recurrence scans D sequentially
+    on-chip by design (SURVEY §2.2)."""
+    return P("data", "depth" if depth else None,
+             "spatial" if spatial else None, None, None)
+
+
+def stage_volume_specs(ndepths, spatial: bool = False, depth_shards: int = 1,
+                       levels: int = 3):
+    """Per-cascade-stage volume PartitionSpecs with a validity guard on the
+    depth axis: depth-slab sharding is applied only at stages whose
+    hypothesis count keeps every level of the 3-level strided conv pyramid
+    at extent ≥ the shard count (nd ≥ depth_shards·2^levels).  Below that,
+    XLA GSPMD's backward for the strided down/up conv chain miscomputes
+    gradients (measured in fp64 on the CPU backend: ~6% bias-grad error at
+    extent<shards, bit-exact at extent≥shards — see NOTES.md); production
+    D=64 supports up to 8-way depth sharding at stage 1."""
+    return tuple(
+        P(
+            "data",
+            "depth" if depth_shards > 1 and nd >= depth_shards * 2 ** levels else None,
+            "spatial" if spatial else None,
+            None,
+            None,
+        )
+        for nd in ndepths
+    )
 
 
 def constrain(x, spec: Optional[P]):

@@ -30,6 +30,30 @@ from ..ops import warp as warplib
 from . import tiling
 
 
+def source_window(rpcs: np.ndarray, ref_index: int, view: int,
+                  row0: int, col0: int, height: int, width: int,
+                  h_min: float, h_max: float, scene_h: int, scene_w: int):
+    """Source-view crop window for a reference tile: project the tile's
+    footprint (4 corners × height extremes) into the view and center a
+    same-size window on it, clamped to the scene.  Real TLC triplets are NOT
+    co-registered in pixel space — a fixed shared window would sample zeros
+    beyond the halo for any cross-view offset (ref triplets share only the
+    ground footprint, not the pixel grid)."""
+    if view == ref_index:
+        return row0, col0
+    cx = np.array([col0, col0 + width - 1.0] * 4)
+    cy = np.array([row0] * 2 + [row0 + height - 1.0] * 2, np.float64)
+    cy = np.concatenate([cy, cy])
+    ch = np.array([h_min] * 4 + [h_max] * 4, np.float64)
+    lat, lon = rpclib.photo_to_obj(rpcs[ref_index], cx, cy, ch)
+    s, l = rpclib.obj_to_photo(rpcs[view], lat, lon, ch)
+    c0 = int(round((s.min() + s.max()) / 2 - width / 2))
+    r0 = int(round((l.min() + l.max()) / 2 - height / 2))
+    c0 = max(0, min(c0, scene_w - width))
+    r0 = max(0, min(r0, scene_h - height))
+    return r0, c0
+
+
 def predict_scene(
     forward: Callable,
     images: np.ndarray,
@@ -82,15 +106,20 @@ def predict_scene(
     order = [ref_index] + [i for i in range(v) if i != ref_index]
 
     def tile_inputs(t: tiling.Tile):
-        imgs_t = np.stack(
-            [center_image(tiling.extract(images[view], t)) for view in range(v)]
-        )
-        # shift every view's RPC to the tile crop of the *reference* image;
-        # source images are cropped at the same scene window, so their RPCs
-        # shift identically (all views share the scene pixel grid here)
-        rpcs_t = np.stack(
-            [rpclib.crop_rpc(r, start_w=t.col0, start_h=t.row0) for r in rpcs]
-        )
+        # per-view windows; each view's RPC shifts by its OWN crop so the
+        # warp geometry stays exact (geo.rpc.crop_rpc semantics)
+        imgs_t, rpcs_t = [], []
+        for view in range(v):
+            row0, col0 = source_window(
+                rpcs, ref_index, view, t.row0, t.col0, t.height, t.width,
+                h_min, h_max, scene_h, scene_w,
+            )
+            imgs_t.append(center_image(
+                images[view][row0:row0 + t.height, col0:col0 + t.width]
+            ))
+            rpcs_t.append(rpclib.crop_rpc(rpcs[view], start_w=col0, start_h=row0))
+        imgs_t = np.stack(imgs_t)
+        rpcs_t = np.stack(rpcs_t)
         return imgs_t[order], warplib.build_stage_cams(rpcs_t[order], 0, num_stage)
 
     place = None

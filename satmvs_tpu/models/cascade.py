@@ -35,7 +35,7 @@ from ..nn.featurenet import FeatureNet
 from ..nn.red import REDRegularizer
 from ..ops import depth_range, regression
 from ..ops.cost_volume import sweep_variance_volume
-from ..ops.warp import RpcWarpCams, homo_warp, rpc_warp
+from ..ops.warp import QcWarpCams, RpcWarpCams, homo_warp, rpc_warp
 
 STAGE_SCALES = {3: (4, 2, 1), 2: (4, 1), 1: (4,)}
 
@@ -87,16 +87,19 @@ def build_stage_volume(geo_model: str, feats, cams, hyps, fused: bool = False,
     """
     import os
 
+    is_qc = geo_model == "rpc" and isinstance(cams, QcWarpCams)
     if (geo_model == "rpc" and fused and jax.default_backend() == "tpu"
             and os.environ.get("SATMVS_FUSED_SWEEP", "1") != "0"):
         from ..ops.coarse_coords import rpc_sweep_coords_coarse
         from ..ops.pallas.sweep_variance import sweep_variance
+        from ..ops.warp import rpc_sweep_coords_qc
 
         b, v, sh, sw, _ = feats.shape
 
-        def one(feats_b, cams_b: RpcWarpCams, hyps_b):
+        def one(feats_b, cams_b, hyps_b):
+            proj = rpc_sweep_coords_qc if is_qc else rpc_sweep_coords_coarse
             coords = [
-                rpc_sweep_coords_coarse(cams_b, s, hyps_b, sh, sw)
+                proj(cams_b, s, hyps_b, sh, sw)
                 for s in range(v - 1)
             ]
             xs = jnp.stack([c[0] for c in coords])
@@ -117,7 +120,7 @@ def build_stage_volume(geo_model: str, feats, cams, hyps, fused: bool = False,
 
     if geo_model == "rpc":
 
-        def one(feats_b, cams_b: RpcWarpCams, hyps_b):
+        def one(feats_b, cams_b, hyps_b):  # RpcWarpCams or QcWarpCams
             return sweep_variance_volume(
                 feats_b[0],
                 feats_b[1:],
@@ -154,7 +157,9 @@ class CascadeModel(nn.Module):
     grad_method: str = "through"                 # "through" | "detach"
     share_cr: bool = False                       # share one regularizer across stages
     lamb: float = 1.5                            # uncertainty width (UCS)
-    # Optional PartitionSpec for (B, D, h, w, C) cost volumes; when set (and
+    # Optional PartitionSpec for (B, D, h, w, C) cost volumes — one spec for
+    # all stages, or a per-stage sequence (dist.mesh.stage_volume_specs,
+    # which guards the depth axis against too-shallow stages); when set (and
     # running under a mesh context) XLA keeps volumes sharded over the named
     # axes and inserts conv halo exchanges — see dist/mesh.py.
     volume_partition: object = None
@@ -260,7 +265,10 @@ class CascadeModel(nn.Module):
                 convention="torch" if self.torch_compat else "exact",
             )
             if self.volume_partition is not None:
-                volume = jax.lax.with_sharding_constraint(volume, self.volume_partition)
+                vp = (self.volume_partition[i]
+                      if isinstance(self.volume_partition, (tuple, list))
+                      else self.volume_partition)
+                volume = jax.lax.with_sharding_constraint(volume, vp)
             # TPU: fused single-kernel GRU recurrence (train too — the
             # kernel has a custom VJP, ops/pallas/red_recur.py);
             # SATMVS_FUSED_RED=0 falls back to the XLA scan

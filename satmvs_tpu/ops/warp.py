@@ -178,8 +178,13 @@ def rpc_warp(src_feat: jnp.ndarray, cams: RpcWarpCams, src_index, depth_values: 
     Returns (D, H, W, C).  TPU analog of /root/reference/modules/warping.py:310-365.
     """
     h, w, _ = src_feat.shape
-    use_coarse = coords == "coarse" or (coords == "auto" and jax.default_backend() == "tpu")
-    if use_coarse:
+    if isinstance(cams, QcWarpCams):
+        # the use_qc variant evaluates the packed (4,4,4) tensors exactly
+        # (no coarse grid — the dot_general chain IS its fast form)
+        x_src, y_src = jax.lax.stop_gradient(
+            rpc_sweep_coords_qc(cams, src_index, depth_values, h, w)
+        )
+    elif coords == "coarse" or (coords == "auto" and jax.default_backend() == "tpu"):
         from .coarse_coords import rpc_sweep_coords_coarse
 
         x_src, y_src = jax.lax.stop_gradient(
@@ -239,6 +244,14 @@ def build_qc_warp_cams(rpcs: np.ndarray, ref_index: int = 0, stage_scale: float 
         src_denorm=base.src_denorm,
         renorm=base.renorm,
     )
+
+
+def build_qc_stage_cams(rpcs: np.ndarray, ref_index: int = 0, num_stage: int = 3):
+    """Per-cascade-stage QC camera bundles, coarsest first — the `--use_qc`
+    twin of `build_stage_cams` (ref dataset/satmvsdataset.py:166-294 builds
+    per-stage QC tensor dicts)."""
+    scales = {3: (0.25, 0.5, 1.0), 2: (0.25, 1.0), 1: (0.25,)}[num_stage]
+    return tuple(build_qc_warp_cams(rpcs, ref_index, s) for s in scales)
 
 
 def _qc_pair(qc4: jnp.ndarray, p, l, h):
@@ -372,7 +385,10 @@ def sweep_coverage_misses_from_cams(cams_stages, height: int, width: int,
         n_src = cams.renorm.shape[0]
         total = 0
         for src in range(n_src):
-            xs, ys = rpc_sweep_coords_coarse(cams, src, depths, sh, sw)
+            if isinstance(cams, QcWarpCams):
+                xs, ys = rpc_sweep_coords_qc(cams, src, depths, sh, sw)
+            else:
+                xs, ys = rpc_sweep_coords_coarse(cams, src, depths, sh, sw)
             total += int(count_misses(xs, ys, sh, sw, stencil, stencil).sum())
         out[stage] = total
     return out

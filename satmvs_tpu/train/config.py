@@ -27,6 +27,9 @@ class Config:
     view_num: int = 3
     ref_view: int = 2
     batch_size: int = 1
+    use_qc: bool = False                     # QC-form RPC warp (ref train.py:28)
+    max_h: int = 0                           # crop cap (0 = only round to x32)
+    max_w: int = 0
 
     # cascade
     ndepths: Sequence[int] = (64, 32, 8)
@@ -56,6 +59,7 @@ class Config:
     # distribution (new vs reference)
     mesh_data: int = 1                       # data-parallel mesh extent
     mesh_spatial: int = 1                    # spatial (H) sharding extent
+    mesh_depth: int = 1                      # depth-slab sharding extent (costreg only)
 
     @property
     def num_stage(self) -> int:
@@ -77,6 +81,9 @@ class Config:
         p.add_argument("--view_num", type=int, default=d.view_num)
         p.add_argument("--ref_view", type=int, default=d.ref_view)
         p.add_argument("--batch_size", type=int, default=d.batch_size)
+        p.add_argument("--use_qc", action="store_true")
+        p.add_argument("--max_h", type=int, default=d.max_h)
+        p.add_argument("--max_w", type=int, default=d.max_w)
         p.add_argument("--ndepths", default="64,32,8")
         p.add_argument("--min_interval", type=float, default=d.min_interval)
         p.add_argument("--depth_inter_r", default="4,2,1")
@@ -96,6 +103,7 @@ class Config:
         p.add_argument("--save_freq", type=int, default=d.save_freq)
         p.add_argument("--mesh_data", type=int, default=d.mesh_data)
         p.add_argument("--mesh_spatial", type=int, default=d.mesh_spatial)
+        p.add_argument("--mesh_depth", type=int, default=d.mesh_depth)
         a = p.parse_args(argv)
 
         milestones_str, gamma_str = a.lrepochs.split(":")
@@ -104,6 +112,7 @@ class Config:
             dataset_root=a.dataset_root, loadckpt=a.loadckpt, logdir=a.logdir,
             resume=a.resume, view_num=a.view_num, ref_view=a.ref_view,
             batch_size=a.batch_size,
+            use_qc=a.use_qc, max_h=a.max_h, max_w=a.max_w,
             ndepths=tuple(int(x) for x in a.ndepths.split(",") if x),
             min_interval=a.min_interval,
             depth_inter_r=tuple(float(x) for x in a.depth_inter_r.split(",") if x),
@@ -116,5 +125,6 @@ class Config:
             lr_milestones=tuple(int(x) for x in milestones_str.split(",") if x),
             lr_gamma=1.0 / float(gamma_str),
             wd=a.wd, seed=a.seed, summary_freq=a.summary_freq,
-            save_freq=a.save_freq, mesh_data=a.mesh_data, mesh_spatial=a.mesh_spatial,
+            save_freq=a.save_freq, mesh_data=a.mesh_data,
+            mesh_spatial=a.mesh_spatial, mesh_depth=a.mesh_depth,
         )

@@ -174,6 +174,34 @@ def fit(cfg: Config, train_loader, test_loader, workdir: str,
     first = next(iter(train_loader))
     model, state, tx = create_model_and_state(cfg, first, steps_per_epoch)
 
+    # ---- SPMD training over a named mesh (--mesh_data/--mesh_spatial/
+    # --mesh_depth; the comm layer the reference lacks, SURVEY §2.2):
+    # batch sharded over `data`, cost volumes constrained over
+    # `spatial`/`depth` (per-stage guarded specs), params replicated.
+    mesh = None
+    shard_in = numeric_batch
+    if cfg.mesh_data * cfg.mesh_spatial * cfg.mesh_depth > 1:
+        from ..dist import make_mesh, replicate, shard_batch, stage_volume_specs
+
+        if cfg.mesh_depth > 1 and cfg.model == "red":
+            raise ValueError(
+                "depth-slab sharding (--mesh_depth) applies to the 3-D conv "
+                "regularizers (casmvs/ucs); the RED recurrence scans depth "
+                "sequentially on-chip by design"
+            )
+        if cfg.batch_size % cfg.mesh_data:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} not divisible by mesh_data {cfg.mesh_data}"
+            )
+        mesh = make_mesh(cfg.mesh_data, cfg.mesh_spatial, cfg.mesh_depth)
+        if cfg.mesh_spatial > 1 or cfg.mesh_depth > 1:
+            model = model.clone(volume_partition=stage_volume_specs(
+                tuple(cfg.ndepths), spatial=cfg.mesh_spatial > 1,
+                depth_shards=cfg.mesh_depth,
+            ))
+        state = replicate(state, mesh)
+        shard_in = lambda b: shard_batch(numeric_batch(b), mesh)
+
     start_epoch = 1
     if cfg.resume:
         restored, ep = ckpt_lib.restore_checkpoint(workdir, state)
@@ -187,10 +215,29 @@ def fit(cfg: Config, train_loader, test_loader, workdir: str,
     logger = MetricLogger(workdir)
     keeper = ckpt_lib.CheckpointKeeper(workdir)  # async epoch saves
 
+    import contextlib
+
+    mesh_ctx = jax.set_mesh(mesh) if mesh is not None else contextlib.nullcontext()
+    with mesh_ctx:
+        state = _fit_epochs(cfg, train_loader, test_loader, workdir, log_fn,
+                            state, train_step, eval_step, logger, keeper,
+                            steps_per_epoch, start_epoch, shard_in)
+    keeper.close()
+    logger.close()
+    return model, state
+
+
+def _fit_epochs(cfg, train_loader, test_loader, workdir, log_fn, state,
+                train_step, eval_step, logger, keeper, steps_per_epoch,
+                start_epoch, shard_in):
+    import os
+
+    from . import metrics as metrics_lib
+
     for epoch in range(start_epoch, cfg.epochs + 1):
         for it, batch in enumerate(train_loader):
             t0 = time.time()
-            state, scalars = train_step(state, numeric_batch(batch))
+            state, scalars = train_step(state, shard_in(batch))
             gstep = (epoch - 1) * steps_per_epoch + it
             if gstep % cfg.summary_freq == 0:
                 scal = {k: float(v) for k, v in scalars.items()}
@@ -205,7 +252,7 @@ def fit(cfg: Config, train_loader, test_loader, workdir: str,
         logged_images = False
         for batch in test_loader:
             nb = numeric_batch(batch)
-            scalars, depth_est, _conf = eval_step(state, nb)
+            scalars, depth_est, _conf = eval_step(state, shard_in(batch))
             meter.update({k: float(v) for k, v in scalars.items()})
             if not logged_images:
                 # reference logs depth_est/gt, ref img, mask, errormap
@@ -231,7 +278,4 @@ def fit(cfg: Config, train_loader, test_loader, workdir: str,
 
         if epoch % cfg.save_freq == 0:
             keeper.save(epoch, state)
-
-    keeper.close()
-    logger.close()
-    return model, state
+    return state

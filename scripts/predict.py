@@ -50,6 +50,10 @@ def main() -> None:
     p.add_argument("--depth_inter_r", default="4,2,1")
     p.add_argument("--cr_base_chs", default="8,8,8")
     p.add_argument("--lamb", type=float, default=1.5)
+    p.add_argument("--use_qc", action="store_true",
+                   help="QC-form RPC warp (ref predict.py:26)")
+    p.add_argument("--max_h", type=int, default=0)
+    p.add_argument("--max_w", type=int, default=0)
     p.add_argument("--streaming", action="store_true",
                    help="plane-streaming scan (red model only): O(H*W) memory in D")
     p.add_argument("--fuse", action="store_true", help="fuse views into a DSM")
@@ -70,7 +74,7 @@ def main() -> None:
 
     ds = find_dataset(a.geo_model)(
         a.dataset_root, "pred", a.view_num, geo_model=a.geo_model,
-        num_stage=cfg.num_stage,
+        num_stage=cfg.num_stage, use_qc=a.use_qc, max_h=a.max_h, max_w=a.max_w,
     )
     ld = Loader(ds, batch_size=1)
     first = next(iter(ld))

@@ -58,7 +58,9 @@ def main() -> None:
     from satmvs_tpu.train.config import Config
     from satmvs_tpu.train.loop import create_model_and_state
 
-    images = np.stack([formats.read_image(pth)[..., 0] for pth in a.images])
+    # windowed GeoTIFF/PNG scene ingestion with tone mapping for raw
+    # radiometry (ref data_io.py:181-261; GDAL when present, PIL fallback)
+    images = np.stack([formats.read_scene_image(pth) for pth in a.images])
     rpcs = np.stack([formats.load_rpc(pth)[0] for pth in a.rpcs])
 
     # fused-sweep coverage contract: validate this scene's cameras once (at

@@ -51,7 +51,8 @@ def main() -> None:
 
     ds_cls = find_dataset(cfg.geo_model)
     make = lambda path, mode: ds_cls(
-        path, mode, cfg.view_num, cfg.ref_view, cfg.geo_model, cfg.num_stage, cfg.seed
+        path, mode, cfg.view_num, cfg.ref_view, cfg.geo_model, cfg.num_stage,
+        cfg.seed, use_qc=cfg.use_qc, max_h=cfg.max_h, max_w=cfg.max_w,
     )
 
     if cfg.mode == "train":

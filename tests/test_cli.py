@@ -30,9 +30,11 @@ def test_train_cli_and_predict_cli(tmp_path):
                                       h_amp=40.0, h_scale=120.0)
     logdir = str(tmp_path / "logs")
 
+    # --use_qc exercises the QC-form warp path end-to-end (params are
+    # identical either way, so the later basis-path restores still work)
     r = _run([
         "scripts/train.py", "--mode=train", "--model=red", "--geo_model=rpc",
-        f"--dataset_root={root}", f"--logdir={logdir}",
+        f"--dataset_root={root}", f"--logdir={logdir}", "--use_qc",
         "--ndepths", "8,4,4", "--epochs", "1", "--summary_freq", "1",
     ])
     assert r.returncode == 0, r.stderr[-3000:]

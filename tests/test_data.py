@@ -106,7 +106,10 @@ def test_crop_to_multiple():
     img = np.zeros((300, 500))
     sh, sw, nh, nw = preprocess.crop_to_multiple(img, max_h=384, max_w=384, base=32)
     assert nh % 32 == 0 and nw % 32 == 0
-    assert nh == 320 and nw == 384  # 300→ceil→320? no: 300<384 → ceil(300/32)*32=320
+    assert nh == 288 and nw == 384  # round DOWN below max; cap above max
+    assert sh >= 0 and sw >= 0 and sh + nh <= 300 and sw + nw <= 500
+    # no-op on already-legal sizes
+    assert preprocess.crop_to_multiple(np.zeros((64, 64)), 0, 0) == (0, 0, 64, 64)
 
 
 def test_build_pyramid():
@@ -193,3 +196,33 @@ def test_loader_propagates_worker_exceptions():
     with pytest.raises(RuntimeError, match="corrupt sample"):
         for _ in ld:
             pass
+
+
+def test_read_scene_image_tiff_window_and_tone():
+    """GeoTIFF-style scene ingestion: uint16 raw radiometry gets the
+    reference tone-map pipeline (γ + percentile stretch, data_io.py:181-261);
+    windowed reads slice the same pixels; uint8 inputs pass through raw."""
+    import tempfile
+
+    from PIL import Image
+
+    rng = np.random.default_rng(3)
+    raw = (rng.gamma(2.0, 300.0, size=(64, 96)) + 50).astype(np.uint16)
+    with tempfile.TemporaryDirectory() as d:
+        tif = f"{d}/scene.tif"
+        Image.fromarray(raw).save(tif)
+        assert formats.scene_size(tif) == (96, 64)
+
+        full = formats.read_scene_image(tif)
+        assert full.shape == (64, 96) and full.dtype == np.float32
+        assert 0.0 <= full.min() and full.max() <= 255.0
+        assert full.max() > 200  # stretch reaches the top of the range
+
+        win = formats.read_scene_image(tif, x_lu=16, y_lu=8, x_size=32, y_size=24,
+                                       tone=False)
+        np.testing.assert_allclose(win, raw[8:32, 16:48].astype(np.float32))
+
+        png = f"{d}/scene.png"
+        Image.fromarray((raw / 16).astype(np.uint8)).save(png)
+        u8 = formats.read_scene_image(png)
+        np.testing.assert_allclose(u8, (raw / 16).astype(np.uint8).astype(np.float32))

@@ -15,7 +15,9 @@ from satmvs_tpu.train.loop import create_model_and_state, numeric_batch
 
 def test_make_mesh_shapes():
     mesh = make_mesh(data=2, spatial=4)
-    assert mesh.shape == {"data": 2, "spatial": 4}
+    assert mesh.shape == {"data": 2, "spatial": 4, "depth": 1}
+    mesh = make_mesh(data=2, depth=4)
+    assert mesh.shape == {"data": 2, "spatial": 1, "depth": 4}
     with pytest.raises(ValueError):
         make_mesh(data=16, spatial=16)
 
@@ -53,3 +55,94 @@ def test_dryrun_multichip_runs():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_stage_volume_specs_guard():
+    """Depth-axis sharding only where every conv-pyramid level keeps extent
+    ≥ shard count (nd ≥ shards·8) — the regime measured bit-exact; below it
+    GSPMD's strided-conv backward miscomputes (NOTES.md)."""
+    from satmvs_tpu.dist import stage_volume_specs
+
+    specs = stage_volume_specs((64, 32, 8), spatial=False, depth_shards=4)
+    assert [s[1] for s in specs] == ["depth", "depth", None]
+    specs = stage_volume_specs((64, 32, 8), spatial=True, depth_shards=8)
+    assert [s[1] for s in specs] == ["depth", None, None]
+    assert all(s[2] == "spatial" for s in specs)
+    specs = stage_volume_specs((8, 8, 8), depth_shards=1)
+    assert all(s[1] is None for s in specs)
+
+
+def test_depth_axis_sharded_volume_matches_serial():
+    """Cost volumes sharded over the depth-hypothesis axis (the D-slab
+    sharding of SURVEY §2.2): a casmvs train-mode loss with the stage-1
+    volume spanning a 4-way depth mesh axis must equal the unsharded result
+    (GSPMD inserts the 3-D-conv halo exchanges)."""
+    from satmvs_tpu.dist import stage_volume_specs
+    from satmvs_tpu.models import CascadeMVSNet
+
+    batch = numeric_batch(synthetic.make_batch(batch_size=2, width=32, height=32))
+    model = CascadeMVSNet(geo_model="rpc", ndepths=(32, 8, 8))
+    model_sh = model.clone(volume_partition=stage_volume_specs(
+        (32, 8, 8), spatial=False, depth_shards=4))
+    variables = model.init(jax.random.PRNGKey(0), batch["imgs"], batch["cams"],
+                           batch["depth_values"], train=False)
+
+    def loss_fn(mdl, variables, batch):
+        out = mdl.apply(variables, batch["imgs"], batch["cams"],
+                        batch["depth_values"], train=False)
+        total, _ = cascade_loss(out, batch["depth_stages"], batch["mask_stages"])
+        return total
+
+    from functools import partial
+
+    single = float(jax.jit(partial(loss_fn, model))(variables, batch))
+
+    mesh = make_mesh(data=2, spatial=1, depth=4)
+    with jax.set_mesh(mesh):
+        sharded = float(
+            jax.jit(partial(loss_fn, model_sh))(
+                replicate(variables, mesh), shard_batch(batch, mesh)
+            )
+        )
+    np.testing.assert_allclose(sharded, single, rtol=2e-4)
+
+
+def test_depth_axis_sharded_train_grads():
+    """Training gradients with the cost volume sharded over data+DEPTH axes
+    match the single-device gradients (eval-mode BN: train-mode batch-stat
+    gradients are ill-conditioned and amplify fp noise across ANY resharding
+    — measured even for pure data-parallel).
+
+    Depth sharding uses the guarded per-stage specs — only stages with
+    nd ≥ shards·8 shard D (below that GSPMD's strided-conv backward
+    miscomputes; measured in fp64, NOTES.md)."""
+    from satmvs_tpu.dist import stage_volume_specs
+
+    batch = numeric_batch(synthetic.make_batch(batch_size=2, width=32, height=32))
+    cfg = Config(model="casmvs", geo_model="rpc", ndepths=(32, 8, 8))
+    model, state, _ = create_model_and_state(cfg, batch, steps_per_epoch=1)
+    model_sh = model.clone(volume_partition=stage_volume_specs(
+        (32, 8, 8), spatial=False, depth_shards=4))
+
+    def grads_fn(mdl):
+        def loss_fn(params, batch):
+            out = mdl.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["imgs"], batch["cams"], batch["depth_values"], train=False,
+            )
+            total, _ = cascade_loss(out, batch["depth_stages"], batch["mask_stages"])
+            return total
+        return jax.jit(jax.value_and_grad(loss_fn))
+
+    loss1, g1 = grads_fn(model)(state.params, batch)
+
+    mesh = make_mesh(data=2, depth=4)
+    with jax.set_mesh(mesh):
+        loss2, g2 = grads_fn(model_sh)(
+            replicate(state.params, mesh), shard_batch(batch, mesh)
+        )
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=2e-4)
+    scale = max(float(jnp.max(jnp.abs(x))) for x in jax.tree_util.tree_leaves(g1))
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-4 * scale, rtol=5e-3)

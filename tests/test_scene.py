@@ -81,3 +81,58 @@ def test_predict_scene_seamless():
     )
     np.testing.assert_allclose(depth_p, depth, atol=1e-3, rtol=1e-5)
     np.testing.assert_allclose(conf_p, conf, atol=1e-4)
+
+
+def test_source_window_covers_offset_views():
+    """Per-view tile windows: source views deliberately NOT co-registered
+    with the reference (pixel grids shifted by ~40-50 px — beyond the halo).
+    The projected-footprint window must keep essentially every plane-sweep
+    sample inside the source crop; the old shared-window choice loses most
+    of them (it assumed a shared scene pixel grid)."""
+    from satmvs_tpu.infer.scene import source_window
+
+    size = 192
+    # h_scale=100 keeps full-range parallax (~±16 px) well inside a 96-px
+    # tile — the real-data regime (WHU-TLC height ranges are narrow relative
+    # to tile size); the huge default synthetic range would exceed ANY window
+    rpcs = np.stack(
+        synthetic.make_rpc_triplet(size, size, seed=13, h_scale=100.0)
+    )[[2, 0, 1]]
+    # de-register the source views: shift their pixel grids
+    rpcs[1] = rpclib.crop_rpc(rpcs[1], 41, 27)
+    rpcs[2] = rpclib.crop_rpc(rpcs[2], -38, -45)
+    h_min, h_max = rpclib.height_range(rpcs[0])
+
+    halo = 32
+
+    def coverage(row0, col0, tile, src, src_r0, src_c0):
+        """Fraction of the tile INTERIOR's sweep samples (the region kept
+        after halo trimming — what stitching actually uses) landing inside
+        the chosen source window."""
+        ref_c = rpclib.crop_rpc(rpcs[0], col0, row0)
+        src_c = rpclib.crop_rpc(rpcs[src], src_c0, src_r0)
+        cams = warplib.build_rpc_warp_cams(np.stack([ref_c, src_c]), 0)
+        depths = jnp.asarray([h_min, h_max], jnp.float32)
+        xs, ys = warplib.rpc_sweep_coords(cams, 0, depths, tile, tile)
+        keep = np.s_[:, halo:tile - halo, halo:tile - halo]
+        xs = np.asarray(xs)[keep]
+        ys = np.asarray(ys)[keep]
+        inside = (xs >= 0) & (xs <= tile - 1) & (ys >= 0) & (ys <= tile - 1)
+        return inside.mean()
+
+    tile = 96
+    # interior tile: full interior coverage; edge tiles: strict improvement
+    # (their shifted sources genuinely lack part of the ground)
+    for row0, col0 in [(48, 48), (0, 96), (96, 0)]:
+        for src in (1, 2):
+            r0, c0 = source_window(rpcs, 0, src, row0, col0, tile, tile,
+                                   h_min, h_max, size, size)
+            cov_new = coverage(row0, col0, tile, src, r0, c0)
+            cov_old = coverage(row0, col0, tile, src, row0, col0)
+            if (row0, col0) == (48, 48):
+                assert cov_new > 0.995, (src, cov_new)
+                assert cov_new > cov_old + 0.15, (src, cov_new, cov_old)
+            else:
+                # window clamped at the scene edge: the shifted source may
+                # genuinely lack the ground — never worse than shared-window
+                assert cov_new >= cov_old - 1e-9, (row0, col0, src)

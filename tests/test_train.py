@@ -93,3 +93,28 @@ def test_fit_end_to_end(tmp_path):
         np.asarray(jnp.ravel(list(state.params.values())[0]["Conv_0"]["kernel"])),
     )
     assert os.path.exists(os.path.join(workdir, "train_record.txt"))
+
+
+@pytest.mark.slow
+def test_fit_mesh_sharded(tmp_path):
+    """--mesh_data/--mesh_depth training: fit() over a 2x1x2 mesh (batch
+    sharded over data, stage-1 volume over depth slabs) runs and
+    checkpoints; depth sharding is refused for the RED recurrence."""
+    root = synthetic.write_synthetic_dataset(str(tmp_path / "data"), num_scenes=2, width=32, height=32)
+    ds_train = MVSDataset(root, "train", view_num=3, ref_view=2)
+    ds_test = MVSDataset(root, "test", view_num=3, ref_view=2)
+    tl = Loader(ds_train, batch_size=2, prefetch=0, seed=0)
+    el = Loader(ds_test, batch_size=2, prefetch=0)
+
+    workdir = str(tmp_path / "ckpt_mesh")
+    cfg = Config(
+        model="casmvs", geo_model="rpc", ndepths=(16, 8, 8), epochs=1,
+        batch_size=2, summary_freq=1, mesh_data=2, mesh_depth=2,
+    )
+    model, state = fit(cfg, tl, el, workdir, log_fn=None)
+    assert latest_epoch(workdir) == 1
+
+    with pytest.raises(ValueError, match="RED"):
+        fit(Config(model="red", geo_model="rpc", ndepths=(16, 8, 8),
+                   epochs=1, batch_size=2, mesh_depth=2),
+            tl, el, str(tmp_path / "x"), log_fn=None)
