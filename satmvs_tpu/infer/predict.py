@@ -1,11 +1,19 @@
-"""Streaming whole-tile inference: depth-plane scan with online softmax.
+"""Streaming whole-tile inference: depth-plane/slab scan with online softmax.
 
 TPU re-design of the reference's plane-streaming predictor
 (Infer_CascadeREDNet + compute_depth_when_pred,
 /root/reference/networks/casred.py:161-332): per cascade stage, a `lax.scan`
-over depth planes carries the 4 RED GRU states and *numerically stable*
-online-softmax accumulators — so memory stays O(H·W) regardless of D and a
-whole scene tile fits on chip.
+over depth planes (or SLABS of planes) carries the 4 RED GRU states and
+*numerically stable* online-softmax accumulators — so memory stays
+O(slab·H·W) regardless of D and a whole scene tile fits on chip.
+
+Slab mode (`slab=k`, the TPU-fast path): each scan step warps k planes with
+the fused sweep kernel, encodes them in one batched conv pass, runs each
+scale's ConvGRU recurrence as ONE fused Pallas kernel seeded with the carried
+state (ops/pallas/red_recur.red_recur_from), decodes batched, and merges the
+slab into the online softmax.  This keeps the per-step work kernel-shaped
+(the reference's plane-at-a-time loop dispatches D tiny ops per plane,
+casred.py:191-236) while preserving the O(1/D)-memory contract.
 
 Stability note (deliberate improvement): the reference accumulates raw
 exp(logit) in float64 (casred.py:219-236).  Emulated float64 is slow on TPU;
@@ -58,22 +66,37 @@ def streaming_red_forward(
     min_interval: float = 2.5,
     feat_base_chs: int = 8,
     cr_base_chs=(8, 8, 8),
+    arch_mode: str = "unet",
+    slab: int = 0,
+    sweep_stencil: int = 8,
 ):
-    """Full cascade forward with plane streaming.  Same input contract as
-    CascadeModel.__call__; jit-friendly (wrap in jax.jit with static config
-    via functools.partial)."""
+    """Full cascade forward with plane/slab streaming.  Same input contract
+    as CascadeModel.__call__; jit-friendly (wrap in jax.jit with static
+    config via functools.partial).
+
+    slab: planes per scan step.  0 streams one plane at a time through the
+    unfused REDStep (works everywhere; the reference's design).  k>0 (TPU)
+    uses the fused sweep + state-seeded fused recurrence per k-plane slab —
+    each ndepth must be divisible by the slab (or ≥ it; a stage whose full
+    D fits one slab runs unstreamed).
+    """
     num_stage = len(ndepths)
     scales = STAGE_SCALES[num_stage]
     b, v, height, width, _ = imgs.shape
 
     feat_vars, red_params = extract_submodules(variables)
-    feat_net = FeatureNet(feat_base_chs, num_stage, "unet")
+    if len(red_params) != num_stage:
+        raise ValueError(
+            f"checkpoint has {len(red_params)} RED stages, config asks {num_stage}"
+        )
+    feat_net = FeatureNet(feat_base_chs, num_stage, arch_mode)
     flat = imgs.reshape(b * v, height, width, imgs.shape[-1])
     stage_feats = [
         f.reshape(b, v, f.shape[1], f.shape[2], f.shape[3])
         for f in feat_net.apply(feat_vars, flat, False)
     ]
 
+    fused_red = jax.default_backend() == "tpu"
     outputs = {}
     depth = None
     d_min, d_max = depth_values[:, 0], depth_values[:, -1]
@@ -90,34 +113,113 @@ def streaming_red_forward(
         step_mod = REDStep(cr_base_chs[i])
         step_params = {"params": red_params[i]}
 
-        states0 = init_red_states(b, sh, sw, cr_base_chs[i], imgs.dtype)
+        states0 = init_red_states(b, sh, sw, cr_base_chs[i], jnp.float32)
         # online-softmax carry: running max m, s = Σ exp(l−m), ds = Σ d·exp(l−m)
-        m0 = jnp.full((b, sh, sw), -jnp.inf, imgs.dtype)
-        s0 = jnp.zeros((b, sh, sw), imgs.dtype)
-        ds0 = jnp.zeros((b, sh, sw), imgs.dtype)
+        m0 = jnp.full((b, sh, sw), -jnp.inf, jnp.float32)
+        s0 = jnp.zeros((b, sh, sw), jnp.float32)
+        ds0 = jnp.zeros((b, sh, sw), jnp.float32)
 
-        def plane_step(carry, hyp_plane, feats_i=feats_i, cams_i=cams_i,
-                       step_mod=step_mod, step_params=step_params):
-            states, m, s, ds = carry
-            # hyp_plane: (B, sh, sw) — warp a single depth plane (D=1)
-            vol = build_stage_volume(geo_model, feats_i, cams_i, hyp_plane[:, None])
-            cost = vol[:, 0]  # (B, sh, sw, C)
-            states, logit = step_mod.apply(step_params, states, cost)
-            new_m = jnp.maximum(m, logit)
-            rescale = jnp.exp(m - new_m)
-            p = jnp.exp(logit - new_m)
-            s = s * rescale + p
-            ds = ds * rescale + hyp_plane * p
-            return (states, new_m, s, ds), None
+        k = min(slab, nd) if slab else 0
+        if k and nd % k == 0:
+            logits_of_slab = _make_slab_logits(
+                step_mod, step_params, geo_model, feats_i, cams_i, b, k,
+                fused_red, sweep_stencil,
+            )
 
-        (_, _, s, ds), _ = jax.lax.scan(
-            plane_step,
-            (states0, m0, s0, ds0),
-            jnp.moveaxis(hyps, 1, 0),  # (D, B, sh, sw)
-        )
+            def slab_step(carry, hyp_slab, logits_of_slab=logits_of_slab):
+                states, m, s, ds = carry
+                # hyp_slab: (B, k, sh, sw)
+                states, logits = logits_of_slab(states, hyp_slab)
+                new_m = jnp.maximum(m, jnp.max(logits, axis=1))
+                rescale = jnp.exp(m - new_m)
+                p = jnp.exp(logits - new_m[:, None])
+                s = s * rescale + jnp.sum(p, axis=1)
+                ds = ds * rescale + jnp.sum(hyp_slab * p, axis=1)
+                return (states, new_m, s, ds), None
+
+            hyp_slabs = jnp.moveaxis(
+                hyps.reshape(b, nd // k, k, sh, sw), 1, 0
+            )  # (n_slabs, B, k, sh, sw)
+            (_, _, s, ds), _ = jax.lax.scan(
+                slab_step, (states0, m0, s0, ds0), hyp_slabs
+            )
+        else:
+
+            def plane_step(carry, hyp_plane, feats_i=feats_i, cams_i=cams_i,
+                           step_mod=step_mod, step_params=step_params):
+                states, m, s, ds = carry
+                # hyp_plane: (B, sh, sw) — warp a single depth plane (D=1)
+                vol = build_stage_volume(
+                    geo_model, feats_i, cams_i, hyp_plane[:, None],
+                    stencil=sweep_stencil,
+                )
+                cost = vol[:, 0]  # (B, sh, sw, C)
+                states, logit = step_mod.apply(step_params, states, cost)
+                new_m = jnp.maximum(m, logit)
+                rescale = jnp.exp(m - new_m)
+                p = jnp.exp(logit - new_m)
+                s = s * rescale + p
+                ds = ds * rescale + hyp_plane * p
+                return (states, new_m, s, ds), None
+
+            (_, _, s, ds), _ = jax.lax.scan(
+                plane_step,
+                (states0, m0, s0, ds0),
+                jnp.moveaxis(hyps, 1, 0),  # (D, B, sh, sw)
+            )
         depth = ds / jnp.maximum(s, 1e-10)
         conf = 1.0 / jnp.maximum(s, 1e-10)  # prob of the argmax plane
         outputs[f"stage{i + 1}"] = {"depth": depth, "photometric_confidence": conf}
 
     outputs.update(outputs[f"stage{num_stage}"])
     return outputs
+
+
+def _make_slab_logits(step_mod, step_params, geo_model, feats_i, cams_i,
+                      batch, k, fused_red, stencil):
+    """(states, hyp_slab (B, k, sh, sw)) → (states, logits (B, k, sh, sw)).
+
+    Fused form: one sweep_variance kernel per slab, batched encode/decode,
+    per-scale fused ConvGRU recurrence seeded with the carried state.
+    Unfused form (CPU): inner plane scan through the same REDStep."""
+
+    def slab_logits(states, hyp_slab):
+        vol = build_stage_volume(
+            geo_model, feats_i, cams_i, hyp_slab, fused=fused_red,
+            stencil=stencil,
+        )  # (B, k, sh, sw, C)
+        if not fused_red:
+            def plane(st, cost):
+                st, logit = step_mod.apply(step_params, st, cost)
+                return st, logit
+
+            states, logits = jax.lax.scan(
+                plane, states, jnp.moveaxis(vol, 1, 0)
+            )
+            return states, jnp.moveaxis(logits, 0, 1)
+
+        from ..ops.pallas.red_recur import cell_params_matrices, red_recur_from
+
+        b, _, sh, sw, cin = vol.shape
+        flat = vol.reshape(b * k, sh, sw, cin)
+        pyr = step_mod.apply(step_params, flat, method=REDStep.encode)
+        enc = tuple(
+            t.astype(jnp.float32).reshape(b, k, *t.shape[1:]) for t in pyr
+        )
+        # gru1..gru4 ↔ ConvGRUCell_3..0 (creation order, nn/red.REDStep)
+        mats = [cell_params_matrices(step_params["params"][f"ConvGRUCell_{j}"])
+                for j in (3, 2, 1, 0)]
+        rs, new_states = [], []
+        for x_sc, mat, h0_sc in zip(enc, mats, states):
+            r_sc = jnp.stack([
+                red_recur_from(h0_sc[bb], x_sc[bb], *mat) for bb in range(batch)
+            ])  # (B, k, h', w', C')
+            rs.append(r_sc)
+            new_states.append(r_sc[:, -1])
+        flat_rs = [r.reshape(b * k, *r.shape[2:]) for r in rs]
+        logits = step_mod.apply(
+            step_params, *flat_rs, method=REDStep.decode
+        ).astype(jnp.float32)
+        return tuple(new_states), logits.reshape(b, k, sh, sw)
+
+    return slab_logits

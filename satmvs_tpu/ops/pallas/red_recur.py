@@ -69,7 +69,7 @@ def _pack_rows(height: int, width: int) -> int:
 
 
 def _red_recur_kernel(
-    x_ref, wx_ref, wg_ref, bg_ref, wc_ref, bc_ref, gn_ref, out_ref,
+    x_ref, wx_ref, wg_ref, bg_ref, wc_ref, bc_ref, gn_ref, h0_ref, out_ref,
     h_ref, pad_ref, padx_ref, g_ref, xc_ref, rhs_ref,
     *, c: int, cin: int, height: int, width: int, r: int,
 ):
@@ -80,10 +80,21 @@ def _red_recur_kernel(
 
     @pl.when(d == 0)
     def _():
-        # zero state; pad borders AND center stay zero (center == h == 0)
-        h_ref[...] = jnp.zeros_like(h_ref)
+        # initial state h0 (zeros for the full-volume form; the previous
+        # slab's last state when slab-streaming) — staged into both the
+        # resident state and the conv pad (borders stay zero)
         pad_ref[...] = jnp.zeros_like(pad_ref)
         padx_ref[...] = jnp.zeros_like(padx_ref)
+
+        def h0_body(p, _):
+            h_ref[p] = h0_ref[p]
+            for s in range(r):
+                pad_ref[pl.ds(p * r + s + 1, 1), :, 1 : width + 1] = (
+                    h0_ref[p][:, s * width : (s + 1) * width].reshape(1, c, width)
+                )
+            return 0
+
+        jax.lax.fori_loop(0, p_cnt, h0_body, 0)
 
     def build_rhs(pad, p, ch=c):
         """im2col patch of pad rows [p*r, p*r+r): (9·ch, R*W), tap-major K."""
@@ -218,6 +229,7 @@ def _red_recur_impl(
     bc: jnp.ndarray,
     gn: jnp.ndarray,
     interpret: bool = False,
+    h0: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     d, height, width, cin = x.shape
     c = wx.shape[-1] // 3
@@ -227,6 +239,10 @@ def _red_recur_impl(
     # NHWC → row-packed (D, P, Cin, R·W) — only the cell input x crosses the
     # layout boundary; the 3C input contribution is computed in-kernel
     x_packed = _pack_nhwc(x, cin, p_cnt, r, width)
+    if h0 is None:
+        h0_packed = jnp.zeros((p_cnt, c, r * width), jnp.float32)
+    else:
+        h0_packed = _pack_nhwc(h0.astype(jnp.float32)[None], c, p_cnt, r, width)[0]
     # tap-major (Cout, 9·Cin) weight matrices
     wx_mat = wx.reshape(9 * cin, 3 * c).T
     wg_mat = wh.reshape(9 * c, 2 * c).T
@@ -250,6 +266,7 @@ def _red_recur_impl(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # h0
         ],
         out_specs=pl.BlockSpec(
             (1, p_cnt, c, r * width),
@@ -278,6 +295,7 @@ def _red_recur_impl(
         wc_mat,
         bc.reshape(c, 1),
         gn,
+        h0_packed,
     )
     # row-packed → NHWC
     return (
@@ -1257,6 +1275,17 @@ def red_recur(
     slab-streamed), else a reverse `lax.scan` of the local VJP.
     """
     return _red_recur_impl(x, wx, wh, bh, wc, bc, gn, interpret)
+
+
+def red_recur_from(h0: jnp.ndarray, x: jnp.ndarray, wx, wh, bh, wc, bc, gn,
+                   interpret: bool = False) -> jnp.ndarray:
+    """`red_recur` starting from carried state h0 (H, W, C) — the
+    slab-streaming inference form (ref slice_RED_Regularization semantics,
+    module.py:653-693, but a whole depth SLAB per kernel call with the
+    state handed between calls).  Chaining contract (test-gated):
+    red_recur_from(red_recur(x[:k])[-1], x[k:]) == red_recur(x)[k:].
+    Inference-only: no custom VJP."""
+    return _red_recur_impl(x, wx, wh, bh, wc, bc, gn, interpret, h0=h0)
 
 
 def _red_recur_fwd(x, wx, wh, bh, wc, bc, gn, interpret):

@@ -56,6 +56,10 @@ def main() -> None:
     p.add_argument("--max_w", type=int, default=0)
     p.add_argument("--streaming", action="store_true",
                    help="plane-streaming scan (red model only): O(H*W) memory in D")
+    p.add_argument("--slab", type=int, default=0,
+                   help="streaming slab size (planes per scan step; 0 = one "
+                        "plane at a time). TPU: fused sweep + state-seeded "
+                        "fused recurrence per slab")
     p.add_argument("--fuse", action="store_true", help="fuse views into a DSM")
     p.add_argument("--p_ratio", type=float, default=1.0)
     p.add_argument("--d_ratio", type=float, default=2.5)
@@ -113,6 +117,7 @@ def main() -> None:
                 geo_model=a.geo_model, ndepths=cfg.ndepths,
                 depth_intervals_ratio=cfg.depth_inter_r,
                 min_interval=cfg.min_interval, cr_base_chs=cfg.cr_base_chs,
+                slab=a.slab,
             )
         )
         run = lambda nb: forward(variables, nb["imgs"], nb["cams"], nb["depth_values"])

@@ -43,6 +43,34 @@ def test_streaming_matches_full_volume():
         )
 
 
+def test_streaming_slab_matches_plane_streaming():
+    """Slab streaming (k planes per scan step, GRU state handed between
+    slabs) must equal the plane-at-a-time stream — same math, kernel-shaped
+    steps."""
+    batch = numeric_batch(synthetic.make_batch(batch_size=1, width=32, height=32))
+    ndepths = (8, 4, 4)
+    model = CascadeREDNet(geo_model="rpc", ndepths=ndepths)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        batch["imgs"], batch["cams"], batch["depth_values"], train=False,
+    )
+    args = (variables, batch["imgs"], batch["cams"], batch["depth_values"])
+    plane = streaming_red_forward(*args, geo_model="rpc", ndepths=ndepths)
+    for k in (2, 4):
+        slabbed = streaming_red_forward(*args, geo_model="rpc",
+                                        ndepths=ndepths, slab=k)
+        for st in ("stage1", "stage2", "stage3"):
+            np.testing.assert_allclose(
+                np.asarray(slabbed[st]["depth"]), np.asarray(plane[st]["depth"]),
+                rtol=1e-4, atol=1e-3, err_msg=f"slab={k} {st}",
+            )
+            np.testing.assert_allclose(
+                np.asarray(slabbed[st]["photometric_confidence"]),
+                np.asarray(plane[st]["photometric_confidence"]),
+                rtol=1e-4, atol=1e-4,
+            )
+
+
 def test_filter_depth_rpc_consistent_scene():
     """True-geometry multi-view heights must pass the consistency check and
     fuse to ~the reference-view ground truth."""

@@ -339,3 +339,27 @@ def test_tile_bases_matches_in_kernel_placement():
                 assert int(geom.row_start) == rs[d, t], (d, t, kv)
                 assert int(geom.col_start128) == cs128[d, t], (d, t, kv)
                 assert int(geom.rc) == rc[d, t], (d, t, kv)
+
+
+def test_red_recur_from_state_chaining():
+    """Slab-streaming contract: running the recurrence in two slabs with the
+    state handed over equals one full-volume run (interpret mode)."""
+    from satmvs_tpu.ops.pallas.red_recur import red_recur, red_recur_from
+
+    rng = np.random.default_rng(5)
+    D, H, W, C = 8, 16, 16, 8
+    x = jnp.asarray(rng.normal(size=(D, H, W, C)).astype(np.float32))
+    wx = jnp.asarray(rng.normal(size=(3, 3, C, 3 * C)).astype(np.float32) * 0.2)
+    wh = jnp.asarray(rng.normal(size=(3, 3, C, 2 * C)).astype(np.float32) * 0.2)
+    bh = jnp.asarray(rng.normal(size=(2 * C,)).astype(np.float32) * 0.1)
+    wc = jnp.asarray(rng.normal(size=(3, 3, C, C)).astype(np.float32) * 0.2)
+    bc = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1)
+    gn = jnp.asarray(rng.normal(size=(6, C)).astype(np.float32) * 0.3 + 0.5)
+
+    full = red_recur(x, wx, wh, bh, wc, bc, gn, interpret=True)
+    first = red_recur(x[:3], wx, wh, bh, wc, bc, gn, interpret=True)
+    rest = red_recur_from(first[-1], x[3:], wx, wh, bh, wc, bc, gn, interpret=True)
+    np.testing.assert_allclose(np.asarray(first), np.asarray(full[:3]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rest), np.asarray(full[3:]),
+                               atol=1e-5)
