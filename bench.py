@@ -37,6 +37,96 @@ FEAT_H, FEAT_W, FEAT_C = PATCH_H // 4, PATCH_W // 4, 32
 NUM_DEPTH = 64
 NUM_SRC = 2
 
+# Roofline constants (TPU v5e, single chip): bf16 MXU peak and HBM bandwidth.
+# fp32 matmuls run below the bf16 peak (multi-pass); MFU is reported against
+# the hardware bf16 ceiling so numbers are comparable across dtypes.
+PEAK_FLOPS = 197e12
+PEAK_HBM_GBS = 819.0
+
+
+def _conv_fl(hh, ww, ci, co, k=3):
+    return 2 * hh * ww * ci * co * k * k
+
+
+def _deconv_fl(hin, win, ci, co, k=3):
+    # input-based count: each input pixel feeds k*k outputs
+    return 2 * hin * win * ci * co * k * k
+
+
+def analytic_forward_flops(h=PATCH_H, w=PATCH_W, views=3,
+                           ndepths=(64, 32, 8), fb=8, cb=8,
+                           taps=25) -> float:
+    """Conv/matmul/gather FLOPs of one CascadeRED forward (batch 1) — the
+    numerator for MFU.  Counts FeatureNet, per-stage sweep (tap gathers +
+    variance moments), RED encoder/GRU/decoder convs; skips softmax/resizes
+    (<1%).  Matches the architecture in nn/featurenet.py + nn/red.py."""
+    fl = 0.0
+    # FeatureNet (unet), per view
+    f = 0.0
+    f += _conv_fl(h, w, 3, fb) + _conv_fl(h, w, fb, fb)
+    f += _conv_fl(h // 2, w // 2, fb, 2 * fb, 5)
+    f += 2 * _conv_fl(h // 2, w // 2, 2 * fb, 2 * fb)
+    f += _conv_fl(h // 4, w // 4, 2 * fb, 4 * fb, 5)
+    f += 2 * _conv_fl(h // 4, w // 4, 4 * fb, 4 * fb)
+    f += _conv_fl(h // 4, w // 4, 4 * fb, 4 * fb, 1)
+    f += _deconv_fl(h // 4, w // 4, 4 * fb, 2 * fb)      # DeconvFuse 1
+    f += _conv_fl(h // 2, w // 2, 4 * fb, 2 * fb)
+    f += _conv_fl(h // 2, w // 2, 2 * fb, 2 * fb, 1)
+    f += _deconv_fl(h // 2, w // 2, 2 * fb, fb)          # DeconvFuse 2
+    f += _conv_fl(h, w, 2 * fb, fb)
+    f += _conv_fl(h, w, fb, fb, 1)
+    fl += views * f
+    # cascade stages: scale, ndepth, feature channels
+    for scale, nd, cin in zip((4, 2, 1), ndepths, (4 * fb, 2 * fb, fb)):
+        sh, sw = h // scale, w // scale
+        # plane-sweep gather + variance moments over V-1 source views
+        fl += 2 * (views - 1) * nd * sh * sw * cin * taps
+        fl += 4 * (views - 1) * nd * sh * sw * cin
+        # RED: encoder
+        b = cb
+        fl += nd * (_conv_fl(sh // 2, sw // 2, cin, 2 * b)
+                    + _conv_fl(sh // 4, sw // 4, 2 * b, 4 * b)
+                    + _conv_fl(sh // 8, sw // 8, 4 * b, 8 * b))
+        # GRU cells (x-conv ci->3c, gates c->2c, cand c->c) at 4 scales
+        for s, c, ci in ((1, b, cin), (2, 2 * b, 2 * b),
+                         (4, 4 * b, 4 * b), (8, 8 * b, 8 * b)):
+            hh, ww = sh // s, sw // s
+            fl += nd * (_conv_fl(hh, ww, ci, 3 * c)
+                        + _conv_fl(hh, ww, c, 2 * c)
+                        + _conv_fl(hh, ww, c, c))
+        # decoder + head
+        fl += nd * (_deconv_fl(sh // 8, sw // 8, 8 * b, 4 * b)
+                    + _deconv_fl(sh // 4, sw // 4, 4 * b, 2 * b)
+                    + _deconv_fl(sh // 2, sw // 2, 2 * b, b)
+                    + _conv_fl(sh, sw, b, 1))
+    return fl
+
+
+def _xla_bytes(fn, *args):
+    """'bytes accessed' from XLA's compiled cost analysis (best-effort)."""
+    import jax
+
+    try:
+        ca = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("bytes accessed"))
+    except Exception:
+        return None
+
+
+def _roofline_report(tag, dt, flops, fn=None, args=()):
+    """Print achieved FLOP/s vs MXU peak and HBM GB/s vs bandwidth peak."""
+    tf = flops / dt / 1e12
+    line = (f"[bench] {tag}: {tf:.1f} TFLOP/s analytic "
+            f"({100 * tf * 1e12 / PEAK_FLOPS:.1f}% of bf16 peak)")
+    by = _xla_bytes(fn, *args) if fn is not None else None
+    if by is not None:
+        gbs = by / dt / 1e9
+        line += (f"; XLA-counted {by / 1e6:.0f} MB -> {gbs:.0f} GB/s "
+                 f"({100 * gbs / PEAK_HBM_GBS:.0f}% of HBM peak)")
+    print(line, file=sys.stderr)
+
 
 def _time_fn(step, iters: int = 10) -> float:
     """Device time per iteration of `step: scalar -> scalar`.
@@ -156,6 +246,8 @@ def bench_model_forward() -> float:
     dt = _time_fn(step, iters=5)
     print(f"[bench] red_forward_384x768: {dt * 1e3:.1f} ms/image, {1 / dt:.2f} images/s",
           file=sys.stderr)
+    _roofline_report("red_forward mfu", dt, analytic_forward_flops(),
+                     step, (jnp.float32(0),))
     return 1.0 / dt
 
 
@@ -192,6 +284,10 @@ def bench_train_step() -> float:
     dt = _time_fn(step, iters=3)
     print(f"[bench] red_train_384x768: {dt * 1e3:.1f} ms/step, {1 / dt:.2f} images/s",
           file=sys.stderr)
+    # train MFU: algorithmic forward + backward = 3x forward FLOPs (the
+    # kernels' in-VMEM recompute is not counted as useful work)
+    _roofline_report("red_train mfu", dt, 3 * analytic_forward_flops(),
+                     step, (jnp.float32(0),))
     return 1.0 / dt
 
 

@@ -69,6 +69,7 @@ def streaming_red_forward(
     arch_mode: str = "unet",
     slab: int = 0,
     sweep_stencil: int = 8,
+    fused: bool | None = None,
 ):
     """Full cascade forward with plane/slab streaming.  Same input contract
     as CascadeModel.__call__; jit-friendly (wrap in jax.jit with static
@@ -96,7 +97,9 @@ def streaming_red_forward(
         for f in feat_net.apply(feat_vars, flat, False)
     ]
 
-    fused_red = jax.default_backend() == "tpu"
+    # fused=None: auto (fused kernels on TPU, plane/slab scan elsewhere);
+    # tests pass fused=True on CPU (the kernels auto-interpret off-TPU)
+    fused_red = (jax.default_backend() == "tpu") if fused is None else fused
     outputs = {}
     depth = None
     d_min, d_max = depth_values[:, 0], depth_values[:, -1]
@@ -113,7 +116,6 @@ def streaming_red_forward(
         step_mod = REDStep(cr_base_chs[i])
         step_params = {"params": red_params[i]}
 
-        states0 = init_red_states(b, sh, sw, cr_base_chs[i], jnp.float32)
         # online-softmax carry: running max m, s = Σ exp(l−m), ds = Σ d·exp(l−m)
         m0 = jnp.full((b, sh, sw), -jnp.inf, jnp.float32)
         s0 = jnp.zeros((b, sh, sw), jnp.float32)
@@ -121,6 +123,18 @@ def streaming_red_forward(
 
         k = min(slab, nd) if slab else 0
         if k and nd % k == 0:
+            if fused_red:
+                # packed per-scale GRU states (B, P, C, R·W) — the row-packed
+                # pipeline's carry form (nn/red.packed_red_pipeline)
+                from ..nn.red import init_red_states_packed
+
+                states0 = tuple(
+                    jnp.broadcast_to(z, (b, *z.shape))
+                    for z in init_red_states_packed(sh, sw, cr_base_chs[i])
+                )
+            else:
+                states0 = init_red_states(b, sh, sw, cr_base_chs[i],
+                                          jnp.float32)
             logits_of_slab = _make_slab_logits(
                 step_mod, step_params, geo_model, feats_i, cams_i, b, k,
                 fused_red, sweep_stencil,
@@ -144,6 +158,7 @@ def streaming_red_forward(
                 slab_step, (states0, m0, s0, ds0), hyp_slabs
             )
         else:
+            states0 = init_red_states(b, sh, sw, cr_base_chs[i], jnp.float32)
 
             def plane_step(carry, hyp_plane, feats_i=feats_i, cams_i=cams_i,
                            step_mod=step_mod, step_params=step_params):
@@ -198,28 +213,22 @@ def _make_slab_logits(step_mod, step_params, geo_model, feats_i, cams_i,
             )
             return states, jnp.moveaxis(logits, 0, 1)
 
-        from ..ops.pallas.red_recur import cell_params_matrices, red_recur_from
+        # row-packed fused pipeline seeded with the carried packed states
+        # (nn/red.packed_red_pipeline: conv_dn encoder, state-seeded fused
+        # recurrence per scale, deconv_up/conv_head decoder)
+        from ..nn.red import packed_red_pipeline
 
         b, _, sh, sw, cin = vol.shape
-        flat = vol.reshape(b * k, sh, sw, cin)
-        pyr = step_mod.apply(step_params, flat, method=REDStep.encode)
-        enc = tuple(
-            t.astype(jnp.float32).reshape(b, k, *t.shape[1:]) for t in pyr
+        outs = [
+            packed_red_pipeline(step_params["params"], vol[bb], sh, sw,
+                                h0s=tuple(st[bb] for st in states))
+            for bb in range(batch)
+        ]
+        logits = jnp.stack([o[0] for o in outs])  # (B, k, sh, sw)
+        new_states = tuple(
+            jnp.stack([outs[bb][1][j] for bb in range(batch)])
+            for j in range(4)
         )
-        # gru1..gru4 ↔ ConvGRUCell_3..0 (creation order, nn/red.REDStep)
-        mats = [cell_params_matrices(step_params["params"][f"ConvGRUCell_{j}"])
-                for j in (3, 2, 1, 0)]
-        rs, new_states = [], []
-        for x_sc, mat, h0_sc in zip(enc, mats, states):
-            r_sc = jnp.stack([
-                red_recur_from(h0_sc[bb], x_sc[bb], *mat) for bb in range(batch)
-            ])  # (B, k, h', w', C')
-            rs.append(r_sc)
-            new_states.append(r_sc[:, -1])
-        flat_rs = [r.reshape(b * k, *r.shape[2:]) for r in rs]
-        logits = step_mod.apply(
-            step_params, *flat_rs, method=REDStep.decode
-        ).astype(jnp.float32)
-        return tuple(new_states), logits.reshape(b, k, sh, sw)
+        return new_states, logits
 
     return slab_logits

@@ -135,6 +135,79 @@ class REDStep(nn.Module):
         return self.recur(states, neg, c1, c2, c3)
 
 
+def packed_red_pipeline(cells: dict, vol: jnp.ndarray, h: int, w: int,
+                        h0s=None):
+    """One batch element of the row-packed fused RED pipeline.
+
+    cells: the REDStep param subtree (params["..."]["ScanREDStep_0"]).
+    vol:   (D, h, w, C) variance-cost slab (un-negated).
+    h0s:   optional per-scale packed initial GRU states (P, C, R·W), fine →
+           coarse — the slab-streaming carry (inference only: the seeded
+           recurrence has no VJP).
+    Returns (logits (D, h, w) float32, states) where states are the last
+    plane's packed GRU states per scale (the next slab's h0s).
+
+    Everything runs in the W-in-lanes row-packed layout via Pallas kernels:
+    conv_dn ×3 (encoder), red_recur ×4 (ConvGRU depth recurrences),
+    deconv_up ×3 + conv_head (decoder); XLA contributes only the input pack
+    transpose, the skip adds, and the output reshape.
+    """
+    from ..ops.pallas import plane_conv as pcv
+    from ..ops.pallas.red_recur import (
+        cell_params_matrices, red_recur_from_packed, red_recur_packed,
+    )
+
+    d = vol.shape[0]
+    # gru1..gru4 ↔ ConvGRUCell_3..0 (creation order, REDStep.setup)
+    mats = [cell_params_matrices(cells[f"ConvGRUCell_{k}"])
+            for k in (3, 2, 1, 0)]
+    f32 = lambda t: t.astype(jnp.float32)
+    w_enc = [f32(cells[f"ConvBlock_{i}"]["Conv_0"]["kernel"]) for i in range(3)]
+    w_dec = [f32(cells[f"DeconvBlock_{i}"]["ConvTranspose_0"]["kernel"])
+             for i in range(3)]
+    w_head = f32(cells["Conv_0"]["kernel"])
+    b_head = f32(cells["Conv_0"]["bias"])
+
+    xp = pcv.pack_planes(f32(-vol))
+    # stride-2 convs consume column-split halves; transposed convs emit
+    # them (Mosaic can't lane-shuffle — plane_conv.py module docstring)
+    c1 = pcv.conv_dn(*pcv.split_cols(xp), w_enc[0], h, w)
+    c2 = pcv.conv_dn(*pcv.split_cols(c1), w_enc[1], h // 2, w // 2)
+    c3 = pcv.conv_dn(*pcv.split_cols(c2), w_enc[2], h // 4, w // 4)
+    scales = ((xp, 1), (c1, 2), (c2, 4), (c3, 8))
+    rs = []
+    for i, (x_s, s) in enumerate(scales):
+        if h0s is None:
+            rs.append(red_recur_packed(x_s, *mats[i], h // s, w // s))
+        else:
+            rs.append(red_recur_from_packed(h0s[i], x_s, *mats[i],
+                                            h // s, w // s))
+    r1, r2, r3, r4 = rs
+
+    def up_add(ue, uo, r_skip):
+        re_, ro_ = pcv.split_cols(r_skip)
+        return pcv.merge_cols(ue + re_, uo + ro_)
+
+    t2 = up_add(*pcv.deconv_up(r4, w_dec[0], h // 8, w // 8), r3)
+    t1 = up_add(*pcv.deconv_up(t2, w_dec[1], h // 4, w // 4), r2)
+    hin = up_add(*pcv.deconv_up(t1, w_dec[2], h // 2, w // 2), r1)
+    lg = pcv.conv_head(hin, w_head, b_head, h, w)
+    # row-packed 1-channel output keeps rows in order → plain reshape
+    return lg.reshape(d, h, w), tuple(r[-1] for r in rs)
+
+
+def init_red_states_packed(h: int, w: int, base_channels: int = 8):
+    """Zero packed GRU states (P, C, R·W) at the 4 scales, fine → coarse."""
+    from ..ops.pallas.red_recur import _pack_rows
+
+    out = []
+    for s in (1, 2, 4, 8):
+        sh, sw = h // s, w // s
+        r = _pack_rows(sh, sw)
+        out.append(jnp.zeros((sh // r, base_channels * s, r * sw), jnp.float32))
+    return tuple(out)
+
+
 class REDRegularizer(nn.Module):
     """Full-volume form: (B, D, H, W, C) variance volume → (B, D, H, W) logits.
 
@@ -152,33 +225,25 @@ class REDRegularizer(nn.Module):
         batch, d, height, width, cin = volume.shape
         step = REDStep(self.base_channels, dtype=self.dtype, name="ScanREDStep_0")
 
+        if fused and not self.is_initializing():
+            # TPU: the ENTIRE regularizer runs in the W-in-lanes row-packed
+            # layout — encoder (plane_conv.conv_dn), each scale's ConvGRU
+            # recurrence (red_recur_packed), decoder + head (deconv_up /
+            # conv_head) — all Pallas kernels with custom VJPs; NHWC appears
+            # only at the cost-volume input (one pack transpose) and the
+            # 1-channel logits output (a plain reshape).  Replaces the
+            # hoisted XLA NHWC convs, whose C=8..64 channels-in-lanes wasted
+            # up to 16x bandwidth (~77 ms of a 215 ms train step).
+            cells = self.variables["params"]["ScanREDStep_0"]
+            return jnp.stack([
+                packed_red_pipeline(cells, volume[b], height, width)[0]
+                for b in range(batch)
+            ])
+
         # hoisted encoder: one batched pass over all planes (large MXU-
         # friendly convs instead of D sequential ones)
         flat = volume.reshape(batch * d, height, width, cin)
         pyr = step.encode(flat)
-
-        if fused and not self.is_initializing():
-            # the fused kernels consume the raw per-scale encoder outputs and
-            # compute the cells' input conv (x_contrib) in-kernel — only the
-            # C-channel x crosses the NHWC → W-in-lanes layout boundary
-            enc = tuple(
-                t.astype(jnp.float32).reshape(batch, d, *t.shape[1:])
-                for t in pyr
-            )
-            from ..ops.pallas.red_recur import cell_params_matrices, red_recur
-
-            cells = self.variables["params"]["ScanREDStep_0"]
-            # gru1..gru4 ↔ ConvGRUCell_3..0 (creation order, nn/red.REDStep)
-            mats = [cell_params_matrices(cells[f"ConvGRUCell_{k}"])
-                    for k in (3, 2, 1, 0)]
-            rs = tuple(
-                jnp.stack([red_recur(x[b], *m) for b in range(batch)])
-                for x, m in zip(enc, mats)
-            )
-            flat_rs = [r.reshape(batch * d, *r.shape[2:]) for r in rs]
-            # decoder: batched over all planes at once
-            logits = step.decode(*flat_rs).astype(jnp.float32)
-            return logits.reshape(batch, d, height, width)
 
         # scan path (training + CPU): streams the raw encoder pyramid
         # (15·HW floats/plane; streaming precomputed xc instead is 45·HW and

@@ -57,6 +57,14 @@ from jax.experimental.pallas import tpu as pltpu
 _EPS = 1e-5
 
 
+def _interp(flag: bool) -> bool:
+    """Auto-interpret off-TPU (CPU tests exercise the real kernels through
+    interpret mode, including custom-VJP backwards that run outside any
+    force_tpu_interpret_mode context; production gates the fused path to
+    TPU in models/cascade.py)."""
+    return flag or jax.default_backend() != "tpu"
+
+
 def _pack_rows(height: int, width: int) -> int:
     """Rows per pack: largest divisor of `height` with pack width ≤ ~2k lanes
     (wider packs help the MXU little but inflate the unrolled im2col copy
@@ -221,28 +229,25 @@ def _pack_nhwc(t: jnp.ndarray, ch: int, p_cnt: int, r: int, width: int):
 
 
 def _red_recur_impl(
-    x: jnp.ndarray,
+    x_packed: jnp.ndarray,
     wx: jnp.ndarray,
     wh: jnp.ndarray,
     bh: jnp.ndarray,
     wc: jnp.ndarray,
     bc: jnp.ndarray,
     gn: jnp.ndarray,
+    height: int,
+    width: int,
     interpret: bool = False,
-    h0: jnp.ndarray | None = None,
+    h0_packed: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    d, height, width, cin = x.shape
+    """Core kernel call — row-packed in/out: (D, P, Cin, R·W) → (D, P, C, R·W)."""
+    d, p_cnt, cin, _ = x_packed.shape
     c = wx.shape[-1] // 3
-    r = _pack_rows(height, width)
-    p_cnt = height // r
+    r = height // p_cnt
 
-    # NHWC → row-packed (D, P, Cin, R·W) — only the cell input x crosses the
-    # layout boundary; the 3C input contribution is computed in-kernel
-    x_packed = _pack_nhwc(x, cin, p_cnt, r, width)
-    if h0 is None:
+    if h0_packed is None:
         h0_packed = jnp.zeros((p_cnt, c, r * width), jnp.float32)
-    else:
-        h0_packed = _pack_nhwc(h0.astype(jnp.float32)[None], c, p_cnt, r, width)[0]
     # tap-major (Cout, 9·Cin) weight matrices
     wx_mat = wx.reshape(9 * cin, 3 * c).T
     wg_mat = wh.reshape(9 * c, 2 * c).T
@@ -286,7 +291,7 @@ def _red_recur_impl(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=127 * 1024 * 1024,
         ),
-        interpret=interpret,
+        interpret=_interp(interpret),
     )(
         x_packed,
         wx_mat,
@@ -297,12 +302,7 @@ def _red_recur_impl(
         gn,
         h0_packed,
     )
-    # row-packed → NHWC
-    return (
-        out.reshape(d, p_cnt, c, r, width)
-        .transpose(0, 1, 3, 4, 2)
-        .reshape(d, height, width, c)
-    )
+    return out
 
 
 def _red_recur_bwd_kernel(
@@ -639,18 +639,15 @@ def _flipT(w):
     return jnp.flip(w, (0, 1)).transpose(2, 0, 1, 3).reshape(c_in, -1)
 
 
-def _red_recur_bwd_pallas(x, outs, wx, wh, bh, wc, bc, gn, g, interpret=False):
+def _red_recur_bwd_pallas(x_p, outs_p, wx, wh, bh, wc, bc, gn, g_p,
+                          height, width, interpret=False):
     """Pallas backward: cotangents of (x, wx, wh, bh, wc, bc, gn) from
-    upstream g (D, H, W, C) and the forward state sequence `outs`."""
-    d, height, width, cin = x.shape
+    upstream g and the forward state sequence `outs` (all row-packed)."""
+    d, p_cnt, cin, _ = x_p.shape
     c = wx.shape[-1] // 3
-    r = _pack_rows(height, width)
-    p_cnt = height // r
+    r = height // p_cnt
 
-    h_all = jnp.concatenate([jnp.zeros_like(outs[:1]), outs[:-1]], axis=0)
-    x_p = _pack_nhwc(x, cin, p_cnt, r, width)
-    h_p = _pack_nhwc(h_all, c, p_cnt, r, width)
-    g_p = _pack_nhwc(g, c, p_cnt, r, width)
+    h_p = jnp.concatenate([jnp.zeros_like(outs_p[:1]), outs_p[:-1]], axis=0)
 
     wx_mat = wx.reshape(9 * cin, 3 * c).T
     wg_mat = wh.reshape(9 * c, 2 * c).T
@@ -717,21 +714,16 @@ def _red_recur_bwd_pallas(x, outs, wx, wh, bh, wc, bc, gn, g, interpret=False):
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=127 * 1024 * 1024,
         ),
-        interpret=interpret,
+        interpret=_interp(interpret),
     )(
         h_p, x_p, g_p,
         wx_mat, wg_mat, bh.reshape(2 * c, 1), wc_mat, bc.reshape(c, 1), gn,
         wgrT, wguT, wcT, wxrT, wxuT, wxcT,
     )
-    dx = (
-        dx_p.reshape(d, p_cnt, cin, r, width)
-        .transpose(0, 1, 3, 4, 2)
-        .reshape(d, height, width, cin)
-    )
     dwx_k = dwx.T.reshape(3, 3, cin, 3 * c)
     dwh = dwg.T.reshape(3, 3, c, 2 * c)
     dwc_k = dwc.T.reshape(3, 3, c, c)
-    return dx, dwx_k, dwh, dbg.reshape(2 * c), dwc_k, dbc.reshape(c), dgn_t.T
+    return dx_p, dwx_k, dwh, dbg.reshape(2 * c), dwc_k, dbc.reshape(c), dgn_t.T
 
 
 def _stream_slab_packs(p_cnt: int, c: int, rw: int) -> int:
@@ -1089,19 +1081,15 @@ def _red_recur_bwd_kernel_stream(
     odma.wait()
 
 
-def _red_recur_bwd_pallas_stream(x, outs, wx, wh, bh, wc, bc, gn, g,
-                                 interpret=False):
+def _red_recur_bwd_pallas_stream(x_p, outs_p, wx, wh, bh, wc, bc, gn, g_p,
+                                 height, width, interpret=False):
     """Streamed-kernel backward: same contract as `_red_recur_bwd_pallas`."""
-    d, height, width, cin = x.shape
+    d, p_cnt, cin, _ = x_p.shape
     c = wx.shape[-1] // 3
-    r = _pack_rows(height, width)
-    p_cnt = height // r
+    r = height // p_cnt
     sp = _stream_slab_packs(p_cnt, cin, r * width)
 
-    h_all = jnp.concatenate([jnp.zeros_like(outs[:1]), outs[:-1]], axis=0)
-    x_p = _pack_nhwc(x, cin, p_cnt, r, width)
-    h_p = _pack_nhwc(h_all, c, p_cnt, r, width)
-    g_p = _pack_nhwc(g, c, p_cnt, r, width)
+    h_p = jnp.concatenate([jnp.zeros_like(outs_p[:1]), outs_p[:-1]], axis=0)
 
     wx_mat = wx.reshape(9 * cin, 3 * c).T
     wg_mat = wh.reshape(9 * c, 2 * c).T
@@ -1172,18 +1160,14 @@ def _red_recur_bwd_pallas_stream(x, outs, wx, wh, bh, wc, bc, gn, g,
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=127 * 1024 * 1024,
         ),
-        interpret=interpret,
+        interpret=_interp(interpret),
     )(
         h_p, g_p, x_p,
         wx_mat, wg_mat, bh.reshape(2 * c, 1), wc_mat, bc.reshape(c, 1), gn,
         wgrT, wguT, wcT, wxrT, wxuT, wxcT,
     )
 
-    dx = (
-        dx_p.reshape(d, p_cnt, cin, r, width)
-        .transpose(0, 1, 3, 4, 2)
-        .reshape(d, height, width, cin)
-    )
+    dx = dx_p
     dwx_k = dwx.T.reshape(3, 3, cin, 3 * c)
     dwh = dwg.T.reshape(3, 3, c, 2 * c)
     dwc_k = dwc.T.reshape(3, 3, c, c)
@@ -1240,7 +1224,41 @@ def _cell_step(h, x, wx, wh, bh, wc, bc, gn):
     return u * h + (1.0 - u) * y
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _pack(x: jnp.ndarray) -> jnp.ndarray:
+    d, h, w, c = x.shape
+    r = _pack_rows(h, w)
+    return _pack_nhwc(x, c, h // r, r, w)
+
+
+def _unpack(xp: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    d, p_cnt, c, _ = xp.shape
+    r = height // p_cnt
+    return (
+        xp.reshape(d, p_cnt, c, r, width)
+        .transpose(0, 1, 3, 4, 2)
+        .reshape(d, height, width, c)
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def red_recur_packed(
+    x: jnp.ndarray,
+    wx: jnp.ndarray,
+    wh: jnp.ndarray,
+    bh: jnp.ndarray,
+    wc: jnp.ndarray,
+    bc: jnp.ndarray,
+    gn: jnp.ndarray,
+    height: int,
+    width: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """`red_recur` on row-packed (D, P, C, R·W) input/output — the layout the
+    plane_conv encoder/decoder kernels produce/consume, so the whole RED
+    pipeline avoids NHWC transposes (see red_recur for the math)."""
+    return _red_recur_impl(x, wx, wh, bh, wc, bc, gn, height, width, interpret)
+
+
 def red_recur(
     x: jnp.ndarray,
     wx: jnp.ndarray,
@@ -1272,9 +1290,14 @@ def red_recur(
     Differentiable: the backward recomputes each plane's internals from the
     saved state sequence (the forward's own output) and applies the exact
     adjoint — in a reverse-grid Pallas kernel when it fits VMEM (dense or
-    slab-streamed), else a reverse `lax.scan` of the local VJP.
+    slab-streamed), else a reverse `lax.scan` of the local VJP.  (NHWC
+    wrapper over `red_recur_packed`, which owns the custom VJP; the pack /
+    unpack transposes differentiate as plain XLA ops.)
     """
-    return _red_recur_impl(x, wx, wh, bh, wc, bc, gn, interpret)
+    d, height, width, cin = x.shape
+    out = red_recur_packed(_pack(x), wx, wh, bh, wc, bc, gn, height, width,
+                           interpret)
+    return _unpack(out, height, width)
 
 
 def red_recur_from(h0: jnp.ndarray, x: jnp.ndarray, wx, wh, bh, wc, bc, gn,
@@ -1285,11 +1308,21 @@ def red_recur_from(h0: jnp.ndarray, x: jnp.ndarray, wx, wh, bh, wc, bc, gn,
     state handed between calls).  Chaining contract (test-gated):
     red_recur_from(red_recur(x[:k])[-1], x[k:]) == red_recur(x)[k:].
     Inference-only: no custom VJP."""
-    return _red_recur_impl(x, wx, wh, bh, wc, bc, gn, interpret, h0=h0)
+    d, height, width, cin = x.shape
+    out = _red_recur_impl(_pack(x), wx, wh, bh, wc, bc, gn, height, width,
+                          interpret, h0_packed=_pack(h0[None])[0])
+    return _unpack(out, height, width)
 
 
-def _red_recur_fwd(x, wx, wh, bh, wc, bc, gn, interpret):
-    outs = _red_recur_impl(x, wx, wh, bh, wc, bc, gn, interpret)
+def red_recur_from_packed(h0, x, wx, wh, bh, wc, bc, gn, height, width,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Row-packed `red_recur_from`: h0 (P, C, R·W), x (D, P, Cin, R·W)."""
+    return _red_recur_impl(x, wx, wh, bh, wc, bc, gn, height, width,
+                           interpret, h0_packed=h0)
+
+
+def _red_recur_fwd(x, wx, wh, bh, wc, bc, gn, height, width, interpret):
+    outs = _red_recur_impl(x, wx, wh, bh, wc, bc, gn, height, width, interpret)
     return outs, (x, outs, wx, wh, bh, wc, bc, gn)
 
 
@@ -1297,25 +1330,28 @@ _BWD_VMEM_CAP = 100 * 1024 * 1024
 _STREAM_VMEM_CAP = 112 * 1024 * 1024
 
 
-def _red_recur_bwd(interpret, res, g):
+def _red_recur_bwd(height, width, interpret, res, g):
     x, outs, wx, wh, bh, wc, bc, gn = res
-    d, height, width, cin = x.shape
+    d, p_cnt, cin, _ = x.shape
     c = wx.shape[-1] // 3
     if _bwd_vmem_bytes(d, height, width, c, cin) <= _BWD_VMEM_CAP:
         return _red_recur_bwd_pallas(x, outs, wx, wh, bh, wc, bc, gn, g,
-                                     interpret)
+                                     height, width, interpret)
     if (height % _pack_rows(height, width) == 0
             and _stream_vmem_bytes(d, height, width, c, cin) <= _STREAM_VMEM_CAP):
         # plane too large for the dense adjoint but fits the slab-streamed
         # one (x/dx stay in HBM) — covers the stage-3 production scales
         return _red_recur_bwd_pallas_stream(
-            x, outs, wx, wh, bh, wc, bc, gn, g, interpret
+            x, outs, wx, wh, bh, wc, bc, gn, g, height, width, interpret
         )
 
     # fallback (plane too large even for the streamed adjoint): reverse scan
-    # recomputing each step in XLA
+    # recomputing each step in XLA (NHWC)
     params = (wx, wh, bh, wc, bc, gn)
-    h_prev = jnp.concatenate([jnp.zeros_like(outs[:1]), outs[:-1]], axis=0)
+    x_n = _unpack(x, height, width)
+    outs_n = _unpack(outs, height, width)
+    g_n = _unpack(g, height, width)
+    h_prev = jnp.concatenate([jnp.zeros_like(outs_n[:1]), outs_n[:-1]], axis=0)
 
     def step(carry, inp):
         dh, dps = carry
@@ -1325,12 +1361,12 @@ def _red_recur_bwd(interpret, res, g):
         dps = jax.tree.map(jnp.add, dps, tuple(dp))
         return (dhp, dps), dx_d
 
-    zero = (jnp.zeros_like(outs[0]), jax.tree.map(jnp.zeros_like, params))
-    (_, dps), dx = jax.lax.scan(step, zero, (h_prev, x, g), reverse=True)
-    return (dx, *dps)
+    zero = (jnp.zeros_like(outs_n[0]), jax.tree.map(jnp.zeros_like, params))
+    (_, dps), dx = jax.lax.scan(step, zero, (h_prev, x_n, g_n), reverse=True)
+    return (_pack(dx), *dps)
 
 
-red_recur.defvjp(_red_recur_fwd, _red_recur_bwd)
+red_recur_packed.defvjp(_red_recur_fwd, _red_recur_bwd)
 
 
 def cell_params_matrices(cell_params: dict) -> tuple:

@@ -168,3 +168,25 @@ def test_tiling_partition_and_stitch():
     # identity "prediction" stitches back exactly
     outs = [tiling.extract(scene, t) for t in tiles]
     np.testing.assert_array_equal(tiling.stitch(tiles, outs, 200, 300), scene)
+
+
+def test_streaming_fused_slab_matches_plane_streaming():
+    """The TPU fused slab path (row-packed pipeline + state-seeded fused
+    recurrence, exercised on CPU via auto-interpret) must equal the
+    plane-at-a-time stream."""
+    batch = numeric_batch(synthetic.make_batch(batch_size=1, width=32, height=32))
+    ndepths = (8, 4, 4)
+    model = CascadeREDNet(geo_model="rpc", ndepths=ndepths)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        batch["imgs"], batch["cams"], batch["depth_values"], train=False,
+    )
+    args = (variables, batch["imgs"], batch["cams"], batch["depth_values"])
+    plane = streaming_red_forward(*args, geo_model="rpc", ndepths=ndepths)
+    fused = streaming_red_forward(*args, geo_model="rpc", ndepths=ndepths,
+                                  slab=4, fused=True)
+    for k in ("stage1", "stage2", "stage3"):
+        np.testing.assert_allclose(
+            np.asarray(fused[k]["depth"]), np.asarray(plane[k]["depth"]),
+            rtol=1e-4, atol=1e-3,
+        )

@@ -157,3 +157,22 @@ def test_red_model_depth_correlates_with_gt():
         params, state, loss = step(params, state)
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+
+def test_bf16_compute_dtype_accuracy_gate():
+    """`--compute_dtype bfloat16` acceptance gate: depth from the bf16-conv
+    model must stay within 25% of the finest stage interval of the fp32
+    model (same params).  Documented accuracy cost (NOTES.md): synthetic e2e
+    MAE 0.52 m bf16 vs 0.38 m fp32, both far sub-interval at GSD 2.5 m; this
+    unit gate catches any regression that would widen that gap."""
+    imgs, cams, dvals, _ = _rpc_inputs()
+    f32 = CascadeREDNet(geo_model="rpc", ndepths=NDEPTHS)
+    b16 = CascadeREDNet(geo_model="rpc", ndepths=NDEPTHS,
+                        compute_dtype=jnp.bfloat16)
+    variables = f32.init(jax.random.PRNGKey(0), imgs, cams, dvals, train=False)
+    out32 = f32.apply(variables, imgs, cams, dvals, train=False)
+    out16 = b16.apply(variables, imgs, cams, dvals, train=False)
+    interval = 2.5  # min_interval default = finest-stage hypothesis spacing
+    diff = np.abs(np.asarray(out32["depth"] - out16["depth"]))
+    assert np.mean(diff) < 0.25 * interval, np.mean(diff)
+    assert np.isfinite(np.asarray(out16["depth"])).all()
