@@ -258,10 +258,15 @@ class CascadeModel(nn.Module):
             # per-view gather path — the fused kernel IS differentiable
             # (custom VJP) but its backward re-gathers the warped views it
             # never stored, measured net slower at batch 1 (340 vs 303
-            # ms/step); flip to fused=True when volume memory binds.
+            # ms/step pre-dual-path; SATMVS_TRAIN_FUSED_SWEEP=1 flips it
+            # for A/B runs, and it's the right trade when cost-volume
+            # memory binds at large batches / D·H·W).
+            import os as _os
+
+            train_fused = _os.environ.get("SATMVS_TRAIN_FUSED_SWEEP") == "1"
             volume = build_stage_volume(
                 self.geo_model, stage_feats[i], cams[i], hyps,
-                fused=not train, stencil=self.sweep_stencil,
+                fused=(not train) or train_fused, stencil=self.sweep_stencil,
                 convention="torch" if self.torch_compat else "exact",
             )
             if self.volume_partition is not None:
