@@ -146,7 +146,9 @@ def _time_fn(step, iters: int = 10) -> float:
 
     jax.block_until_ready(run(jnp.float32(0)))  # compile + warm
     best = float("inf")
-    for rep in range(3):  # best-of-3: the remote chip shows run-to-run noise
+    # best-of-5: identical code measured ±5% across sessions through the
+    # remote tunnel (NOTES.md round-3 findings) — more reps tighten the tail
+    for rep in range(5):
         t0 = time.perf_counter()
         out = run(jnp.float32(1 + rep))
         jax.block_until_ready(out)

@@ -60,6 +60,10 @@ class MVSDataset:
         # ref preprocess.py:72-102 semantics (see crop_to_multiple)
         self.max_h = max_h
         self.max_w = max_w
+        # direct-only (90-value) .rpc files get their inverse coefficients
+        # fitted on load (ref RPCCore.py:31,188-240); cache per path — the
+        # ICCV fit is a 78-unknown damped solve, too slow to redo per sample
+        self._inv_rpc_cache: dict[str, np.ndarray] = {}
         self.rng = np.random.default_rng(seed)
         ref = -1 if mode == "pred" else ref_view
         self.sample_list = samples.gen_list(root, view_num, ref, geo_model)
@@ -74,7 +78,7 @@ class MVSDataset:
         for v in range(self.view_num):
             img = formats.read_image(paths[2 * v])
             if self.geo_model == "rpc":
-                cam = formats.load_rpc(paths[2 * v + 1])[0]
+                cam = self._load_rpc_full(paths[2 * v + 1])
             else:
                 cam = formats.load_camera_nn(paths[2 * v + 1])
             img, cam, window = self._crop_view(img, cam)
@@ -85,6 +89,21 @@ class MVSDataset:
             imgs.append(preprocess.center_image(img))
             cams_raw.append(cam)
         return np.stack(imgs), cams_raw, ref_window
+
+    def _load_rpc_full(self, path: str) -> np.ndarray:
+        """Load an .rpc as a full 170-vector, fitting the inverse block when
+        the file ships only the 90 direct values (ref RPCCore.py:31 computes
+        the inverse on load; WHU-TLC files already carry all 170)."""
+        cam = formats.load_rpc(path)[0]
+        if cam.shape[0] == 170:
+            return cam
+        hit = self._inv_rpc_cache.get(path)
+        if hit is None:
+            full = np.zeros(170, np.float64)
+            full[:90] = cam
+            hit = rpclib.fit_inverse_rpc(full)
+            self._inv_rpc_cache[path] = hit
+        return hit
 
     def _crop_view(self, img, cam):
         """Center-crop one view to network-legal dims, shifting its camera

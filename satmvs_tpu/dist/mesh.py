@@ -84,24 +84,41 @@ def volume_spec(spatial: bool = True, depth: bool = False) -> P:
 
 
 def stage_volume_specs(ndepths, spatial: bool = False, depth_shards: int = 1,
-                       levels: int = 3):
-    """Per-cascade-stage volume PartitionSpecs with a validity guard on the
-    depth axis: depth-slab sharding is applied only at stages whose
-    hypothesis count keeps every level of the 3-level strided conv pyramid
-    at extent ≥ the shard count (nd ≥ depth_shards·2^levels).  Below that,
-    XLA GSPMD's backward for the strided down/up conv chain miscomputes
-    gradients (measured in fp64 on the CPU backend: ~6% bias-grad error at
-    extent<shards, bit-exact at extent≥shards — see NOTES.md); production
-    D=64 supports up to 8-way depth sharding at stage 1."""
+                       levels: int = 3, spatial_shards: int = 0,
+                       height: int = 0):
+    """Per-cascade-stage volume PartitionSpecs with validity guards on the
+    sharded conv dims: a dim is sharded only at stages where every level of
+    the `levels`-deep strided conv pyramid keeps extent ≥ the shard count
+    (extent ≥ shards·2^levels).  Below that, XLA GSPMD's backward for the
+    strided down/up conv chain miscomputes gradients (measured in fp64 on
+    the CPU backend: ~6% bias-grad error at extent<shards, bit-exact at
+    extent≥shards — see NOTES.md); production D=64 supports up to 8-way
+    depth sharding at stage 1.
+
+    The depth guard uses `ndepths`; the spatial guard needs `spatial_shards`
+    and the image `height` (stage H = height/scale, coarsest stage first) —
+    when those aren't given (legacy callers), spatial is applied unguarded,
+    which is safe for the production geometries (384+ rows) but combined
+    depth+spatial MUST go through the guarded form (fit() does)."""
+    num = len(ndepths)
+    scales = {3: (4, 2, 1), 2: (4, 1), 1: (4,)}[num]
+
+    def spatial_ok(i):
+        if not spatial:
+            return False
+        if not (spatial_shards and height):
+            return True  # legacy unguarded form
+        return height // scales[i] >= spatial_shards * 2 ** levels
+
     return tuple(
         P(
             "data",
             "depth" if depth_shards > 1 and nd >= depth_shards * 2 ** levels else None,
-            "spatial" if spatial else None,
+            "spatial" if spatial_ok(i) else None,
             None,
             None,
         )
-        for nd in ndepths
+        for i, nd in enumerate(ndepths)
     )
 
 

@@ -115,6 +115,15 @@ def streaming_red_forward(
         cams_i = cams[i]
         step_mod = REDStep(cr_base_chs[i])
         step_params = {"params": red_params[i]}
+        # geometry/VMEM gate for the fused RED pipeline at this stage's tile
+        # size (forward-only: streaming never differentiates); the fused
+        # sweep kernel is tiled and has no such limit, so it stays on even
+        # when the RED pipeline falls back to the slab scan
+        from ..nn.red import packed_pipeline_feasible
+
+        stage_fused_red = fused_red and packed_pipeline_feasible(
+            sh, sw, feats_i.shape[-1], cr_base_chs[i], train=False
+        )
 
         # online-softmax carry: running max m, s = Σ exp(l−m), ds = Σ d·exp(l−m)
         m0 = jnp.full((b, sh, sw), -jnp.inf, jnp.float32)
@@ -123,7 +132,7 @@ def streaming_red_forward(
 
         k = min(slab, nd) if slab else 0
         if k and nd % k == 0:
-            if fused_red:
+            if stage_fused_red:
                 # packed per-scale GRU states (B, P, C, R·W) — the row-packed
                 # pipeline's carry form (nn/red.packed_red_pipeline)
                 from ..nn.red import init_red_states_packed
@@ -137,7 +146,7 @@ def streaming_red_forward(
                                           jnp.float32)
             logits_of_slab = _make_slab_logits(
                 step_mod, step_params, geo_model, feats_i, cams_i, b, k,
-                fused_red, sweep_stencil,
+                stage_fused_red, sweep_stencil, fused_vol=fused_red,
             )
 
             def slab_step(carry, hyp_slab, logits_of_slab=logits_of_slab):
@@ -191,16 +200,20 @@ def streaming_red_forward(
 
 
 def _make_slab_logits(step_mod, step_params, geo_model, feats_i, cams_i,
-                      batch, k, fused_red, stencil):
+                      batch, k, fused_red, stencil, fused_vol=None):
     """(states, hyp_slab (B, k, sh, sw)) → (states, logits (B, k, sh, sw)).
 
     Fused form: one sweep_variance kernel per slab, batched encode/decode,
     per-scale fused ConvGRU recurrence seeded with the carried state.
-    Unfused form (CPU): inner plane scan through the same REDStep."""
+    Unfused form (CPU, or tiles the packed pipeline can't fit): inner plane
+    scan through the same REDStep — `fused_vol` keeps the tiled sweep
+    kernel on even then."""
+    if fused_vol is None:
+        fused_vol = fused_red
 
     def slab_logits(states, hyp_slab):
         vol = build_stage_volume(
-            geo_model, feats_i, cams_i, hyp_slab, fused=fused_red,
+            geo_model, feats_i, cams_i, hyp_slab, fused=fused_vol,
             stencil=stencil,
         )  # (B, k, sh, sw, C)
         if not fused_red:

@@ -174,6 +174,14 @@ class CascadeModel(nn.Module):
     # when ops.warp.sweep_coverage_misses(..., stencil=4) is all-zero for the
     # scene's cameras (the train/predict CLIs check this).
     sweep_stencil: int = 8
+    # Use the fused one-kernel sweep+variance volume in TRAINING too (its
+    # custom-VJP backward re-gathers the warped views it never stored —
+    # measured net slower at batch 1 pre-dual-path, but the right trade when
+    # cost-volume memory binds).  A real config field (not an env read at
+    # trace time — a jitted step would silently cache the first-seen value);
+    # train/loop.create_model_and_state seeds it from SATMVS_TRAIN_FUSED_SWEEP
+    # once at model build for A/B runs.
+    train_fused_sweep: bool = False
     # Rematerialize the regularizers during backprop (jax.checkpoint): trades
     # recompute for activation memory — enables training larger tiles / depth
     # counts (the memory-frugality analog of the reference's streaming trick,
@@ -255,18 +263,11 @@ class CascadeModel(nn.Module):
 
             # ---- cost volume + regularization
             # fused one-kernel volume at inference; training keeps the
-            # per-view gather path — the fused kernel IS differentiable
-            # (custom VJP) but its backward re-gathers the warped views it
-            # never stored, measured net slower at batch 1 (340 vs 303
-            # ms/step pre-dual-path; SATMVS_TRAIN_FUSED_SWEEP=1 flips it
-            # for A/B runs, and it's the right trade when cost-volume
-            # memory binds at large batches / D·H·W).
-            import os as _os
-
-            train_fused = _os.environ.get("SATMVS_TRAIN_FUSED_SWEEP") == "1"
+            # per-view gather path unless train_fused_sweep (field above)
             volume = build_stage_volume(
                 self.geo_model, stage_feats[i], cams[i], hyps,
-                fused=(not train) or train_fused, stencil=self.sweep_stencil,
+                fused=(not train) or self.train_fused_sweep,
+                stencil=self.sweep_stencil,
                 convention="torch" if self.torch_compat else "exact",
             )
             if self.volume_partition is not None:

@@ -135,6 +135,50 @@ class REDStep(nn.Module):
         return self.recur(states, neg, c1, c2, c3)
 
 
+def packed_pipeline_feasible(h: int, w: int, cin: int,
+                             base_channels: int = 8,
+                             train: bool = False) -> bool:
+    """True iff the row-packed fused pipeline can run at (h, w) tiles.
+
+    Two hard constraints (ops/pallas/plane_conv.py design notes):
+      * phase-deconv geometries need EVEN row-packs — deconv_up emits into
+        scales 1/2/4, and (in training) conv_dn's backward phase-deconvs
+        into the same geometries; a wide tile (e.g. W=2048 ⇒ pack r=1)
+        cannot run them;
+      * every kernel's scratch+IO must fit VMEM (~127 MB usable; gate at
+        a safe margin).  `train=True` also requires the plane_conv backward
+        kernels to fit (red_recur's backward self-gates with an XLA
+        fallback, so only its forward counts here).
+
+    Callers (REDRegularizer, infer.streaming_red_forward) fall back to the
+    XLA scan path when this returns False.
+    """
+    from ..ops.pallas import plane_conv as pcv
+    from ..ops.pallas import red_recur as rr
+
+    if h % 8 or w % 8:
+        return False
+    if not all(pcv.phase_pack_ok(h // s, w // s) for s in (1, 2, 4)):
+        return False
+    # the Mosaic limit the kernels request; the production stage-3 red_recur
+    # (384x768, C=8) sits at ~123 MB of it, so no extra safety margin here
+    cap = 127 * 1024 * 1024
+    b = base_channels
+    enc = [(h, w, cin, 2 * b), (h // 2, w // 2, 2 * b, 4 * b),
+           (h // 4, w // 4, 4 * b, 8 * b)]
+    if any(pcv.conv_dn_vmem_bytes(*e, train) > cap for e in enc):
+        return False
+    recur = [(h, w, b, cin), (h // 2, w // 2, 2 * b, 2 * b),
+             (h // 4, w // 4, 4 * b, 4 * b), (h // 8, w // 8, 8 * b, 8 * b)]
+    if any(rr.fwd_vmem_bytes(*r_) > cap for r_ in recur):
+        return False
+    dec = [(h // 8, w // 8, 8 * b, 4 * b), (h // 4, w // 4, 4 * b, 2 * b),
+           (h // 2, w // 2, 2 * b, b)]
+    if any(pcv.deconv_up_vmem_bytes(*d_, train) > cap for d_ in dec):
+        return False
+    return pcv.conv_head_vmem_bytes(h, w, b, 1, train) <= cap
+
+
 def packed_red_pipeline(cells: dict, vol: jnp.ndarray, h: int, w: int,
                         h0s=None):
     """One batch element of the row-packed fused RED pipeline.
@@ -161,6 +205,12 @@ def packed_red_pipeline(cells: dict, vol: jnp.ndarray, h: int, w: int,
     # gru1..gru4 ↔ ConvGRUCell_3..0 (creation order, REDStep.setup)
     mats = [cell_params_matrices(cells[f"ConvGRUCell_{k}"])
             for k in (3, 2, 1, 0)]
+    # DELIBERATE fp32 promotion: the Pallas kernels run fp32 regardless of
+    # compute_dtype — the recurrence/GroupNorm math is fp32 by design (same
+    # as the scan path's in-scan cells), and the encoder/decoder matmuls
+    # are MXU bf16-pass internally anyway; bf16 here would only save VMEM
+    # the kernels don't need.  The bf16 knob's win is HBM traffic in the
+    # XLA conv path (FeatureNet/CostRegNet), not here.
     f32 = lambda t: t.astype(jnp.float32)
     w_enc = [f32(cells[f"ConvBlock_{i}"]["Conv_0"]["kernel"]) for i in range(3)]
     w_dec = [f32(cells[f"DeconvBlock_{i}"]["ConvTranspose_0"]["kernel"])
@@ -225,6 +275,13 @@ class REDRegularizer(nn.Module):
         batch, d, height, width, cin = volume.shape
         step = REDStep(self.base_channels, dtype=self.dtype, name="ScanREDStep_0")
 
+        # geometry/VMEM gate: wide or huge tiles (odd phase packs, kernels
+        # over VMEM) fall back to the scan path below; train=True because
+        # this module is differentiated through (the plane_conv backwards
+        # have no fallback of their own)
+        if fused and not packed_pipeline_feasible(
+                height, width, cin, self.base_channels, train=True):
+            fused = False
         if fused and not self.is_initializing():
             # TPU: the ENTIRE regularizer runs in the W-in-lanes row-packed
             # layout — encoder (plane_conv.conv_dn), each scale's ConvGRU

@@ -68,6 +68,60 @@ def _interp(flag: bool) -> bool:
 
 
 # --------------------------------------------------------------------------
+# feasibility estimates (consumed by nn/red.packed_pipeline_feasible)
+# --------------------------------------------------------------------------
+
+def conv_dn_vmem_bytes(h, w, cin, cout, train):
+    """Rough VMEM footprint of conv_dn fwd (and bwd when `train`)."""
+    h2, w2 = h // 2, w // 2
+    r_in, r_out = _dn_geom(h, w)
+    fwd = (2 * (h + 2) * cin * (w2 + 2) + 9 * cin * r_out * w2
+           + 2 * 2 * cin * h * w2 + 2 * cout * h2 * w2)
+    if not train:
+        return 4 * fwd
+    bwd = (2 * (h + 2) * cin * (w2 + 2) + (h2 + 2) * cout * (w2 + 2)
+           + max(9 * cin, 4 * cout) * max(r_out * w2, (r_in // 2) * w2)
+           + 2 * (2 * cin * h * w2 + 2 * cout * h2 * w2)   # xe/xo/y/g in
+           + 2 * 2 * cin * h * w2)                          # dxe/dxo out
+    return 4 * max(fwd, bwd)
+
+
+def deconv_up_vmem_bytes(h, w, cin, cout, train):
+    """Rough VMEM footprint of deconv_up fwd (and bwd when `train`)."""
+    r_in, r_out = _up_geom(h, w)
+    fwd = ((h + 2) * cin * (w + 2) + 4 * cin * (r_out // 2) * w
+           + 2 * cin * h * w + 2 * 2 * cout * 2 * h * w)
+    if not train:
+        return 4 * fwd
+    bwd = (2 * (2 * h + 2) * cout * (w + 2) + 9 * cout * r_in * w
+           + 2 * (cin * h * w + 4 * cout * 2 * h * w)       # x + ye/yo/ge/go
+           + 2 * cin * h * w)                                # dx out
+    return 4 * max(fwd, bwd)
+
+
+def conv_head_vmem_bytes(h, w, cin, cout, train):
+    """Rough VMEM footprint of conv_head fwd (and bwd when `train`)."""
+    r = _pack_rows(h, w)
+    fwd = ((h + 2) * cin * (w + 2) + 9 * cin * r * w
+           + 2 * (cin + cout) * h * w)
+    if not train:
+        return 4 * fwd
+    bwd = ((h + 2) * (cin + cout) * (w + 2) + 9 * max(cin, cout) * r * w
+           + 2 * (cin + cout) * h * w + 2 * cin * h * w)
+    return 4 * max(fwd, bwd)
+
+
+def phase_pack_ok(h, w) -> bool:
+    """True iff the (h, w) geometry admits the phase-matmul deconv:
+    `_phase_deconv` emits rows in (even, odd) pairs per output pack, so the
+    output row-pack must be even.  deconv_up's outputs land at (h, w) when
+    called from (h/2, w/2); conv_dn's BACKWARD phase-deconvs into its input
+    geometry (h, w).  Wide tiles (e.g. W=2048 ⇒ r=1) fail this — callers
+    must fall back to the XLA scan path (nn/red.packed_pipeline_feasible)."""
+    return _pack_rows(h, w) % 2 == 0
+
+
+# --------------------------------------------------------------------------
 # host-side packing / column-parity helpers (the XLA boundary)
 # --------------------------------------------------------------------------
 
@@ -429,7 +483,7 @@ def _deconv_up_kernel(x_ref, me_ref, mo_ref, ye_ref, yo_ref, pad_ref, rhs_ref,
 
 
 def _deconv_up_bwd_kernel(x_ref, ye_ref, yo_ref, ge_ref, go_ref, mdx_ref,
-                          dx_ref, dm_ref, pe_ref, po_ref, padx_ref, rhs_ref,
+                          dx_ref, dm_ref, pe_ref, po_ref, rhs_ref,
                           *, cin, cout, h, w, r_in, r_out, relu):
     p_in, p_out = h // r_in, (2 * h) // r_out
 
@@ -437,7 +491,6 @@ def _deconv_up_bwd_kernel(x_ref, ye_ref, yo_ref, ge_ref, go_ref, mdx_ref,
     def _():
         pe_ref[...] = jnp.zeros_like(pe_ref)
         po_ref[...] = jnp.zeros_like(po_ref)
-        padx_ref[...] = jnp.zeros_like(padx_ref)
         dm_ref[...] = jnp.zeros_like(dm_ref)
 
     # dz = g * relu'(y), already column-split — stage each half directly
@@ -457,8 +510,6 @@ def _deconv_up_bwd_kernel(x_ref, ye_ref, yo_ref, ge_ref, go_ref, mdx_ref,
         return 0
 
     jax.lax.fori_loop(0, p_out, stage_dz, 0)
-
-    _stage_pad(padx_ref, lambda p: x_ref[0, p], p_in, r_in, w)
 
     # dx[y,x] = sum_{a,b} wt[a,b,co,ci] dz[2y+a-1, 2x+b-1]  (stride-2
     # correlation over the split dz pads); dM[ci, t(2-a,2-b)*co+co'] += the
@@ -575,7 +626,6 @@ def _deconv_up_bwd(h, w, relu, interpret, res, g):
         scratch_shapes=[
             pltpu.VMEM((2 * h + 2, cout, w + 2), jnp.float32),  # dz even
             pltpu.VMEM((2 * h + 2, cout, w + 2), jnp.float32),  # dz odd
-            pltpu.VMEM((h + 2, cin, w + 2), jnp.float32),       # x (unused pad)
             pltpu.VMEM((9 * cout, r_in * w), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(

@@ -1198,6 +1198,19 @@ def _red_recur_bwd_pallas_stream(x_p, outs_p, wx, wh, bh, wc, bc, gn, g_p,
     return dx, dwx_k, dwh, dbg.reshape(2 * c), dwc_k, dbc.reshape(c), dgn_t.T
 
 
+def fwd_vmem_bytes(height, width, c, cin):
+    """Rough VMEM footprint of the flat-pad forward kernel (scratches +
+    double-buffered I/O blocks) — the feasibility gate for the fused
+    pipeline at large tile geometries (nn/red.packed_pipeline_feasible)."""
+    plane = height * width * 4
+    flats = (2 * c + cin) * (height + 2) * width * 4   # h, m, x flat pads
+    scratch = (2 * c + 3 * c) * plane                  # raw gates + xc
+    r = _pack_rows(height, width)
+    rhs = 9 * max(c, cin) * r * width * 4
+    io = (2 * (cin + c) + c) * plane                   # in/out ×2 + h0
+    return flats + scratch + rhs + io
+
+
 def _stream_vmem_bytes(d, height, width, c, cin):
     """Rough VMEM footprint of the streamed backward kernel."""
     plane = height * width * 4

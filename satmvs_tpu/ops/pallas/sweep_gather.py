@@ -142,7 +142,39 @@ class _TileGeom:
         return (max_dv + 1 <= fkv) & (max_ds + 1 <= fks)
 
 
-FAST_STENCIL = 4  # tap half-width of the in-kernel fast path
+FAST_STENCIL = 4   # tap half-width of the in-kernel fast path
+MICRO_STENCIL = 2  # narrowest tier: 9 taps — covers ≥90% of tiles at the
+                   # production geometry (measured round 3; satellite warps
+                   # are locally near-affine, so an 8-row tile's integer tap
+                   # span rarely exceeds 2 once the base offset is removed)
+
+
+def tiered_taps(geom: "_TileGeom", run, kv: int, ks: int) -> None:
+    """Per-tile tap-grid dispatch shared by gather/scatter/variance kernels.
+
+    `run(kv_, ks_)` must WRITE its result into a ref (values can't cross
+    `pl.when`).  Runs the narrowest tap grid that is exact for this tile —
+    tiers (MICRO, FAST, full); `covered_by` proves exactness, so every tier
+    produces bit-identical output to the full loop.  Forward and transpose
+    share `_TileGeom`, so both always pick the same tier."""
+    tiers = [t for t in (MICRO_STENCIL, FAST_STENCIL) if t < min(kv, ks)]
+    if not tiers:
+        run(kv, ks)
+        return
+    prev = None
+    for t in tiers:
+        c = geom.covered_by(t, t)
+        pred = c if prev is None else c & jnp.logical_not(prev)
+
+        @pl.when(pred)
+        def _(t=t):
+            run(t, t)
+
+        prev = c if prev is None else jnp.logical_or(prev, c)
+
+    @pl.when(jnp.logical_not(prev))
+    def _():
+        run(kv, ks)
 
 
 def tile_bases(xs: jnp.ndarray, ys: jnp.ndarray, height: int, width: int,
@@ -246,22 +278,14 @@ def _sweep_gather_kernel(
     patch = pltpu.roll(patch, wpp - rc, 2)
 
     kw = dict(bh=bh, channels=channels, width=width)
-    if kv <= FAST_STENCIL and ks <= FAST_STENCIL:
-        _gather_taps(geom, patch, out_ref, kv=kv, ks=ks, **kw)
-    else:
-        # dual path: most tiles' taps fit the (FAST+1)² grid (the warp is
-        # smooth); only outlier tiles pay the full (kv+1)(ks+1) loop — branch
-        # measured per tile, so the result is exactly the slow loop's.
-        fast = geom.covered_by(FAST_STENCIL, FAST_STENCIL)
-
-        @pl.when(fast)
-        def _():
-            _gather_taps(geom, patch, out_ref,
-                         kv=FAST_STENCIL, ks=FAST_STENCIL, **kw)
-
-        @pl.when(jnp.logical_not(fast))
-        def _():
-            _gather_taps(geom, patch, out_ref, kv=kv, ks=ks, **kw)
+    # tiered per-tile tap grids (9/25/full) — each tile runs the narrowest
+    # loop its measured tap span proves exact (tiered_taps)
+    tiered_taps(
+        geom,
+        lambda kv_, ks_: _gather_taps(geom, patch, out_ref,
+                                      kv=kv_, ks=ks_, **kw),
+        kv, ks,
+    )
 
 
 def _sweep_gather_impl(src: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
@@ -360,21 +384,10 @@ def _sweep_scatter_kernel(
                     win_ref[dv : dv + bh, :, ds : ds + width] + w[:, None, :] * g
                 )
 
-    if kv <= FAST_STENCIL and ks <= FAST_STENCIL:
-        stage(kv, ks)
-    else:
-        # same per-tile fast/slow branch as the gather forward — the staged
-        # taps are the exact transpose of whichever loop the forward ran
-        # (covered_by is a pure function of the coordinates both share)
-        fast = geom.covered_by(FAST_STENCIL, FAST_STENCIL)
-
-        @pl.when(fast)
-        def _():
-            stage(FAST_STENCIL, FAST_STENCIL)
-
-        @pl.when(jnp.logical_not(fast))
-        def _():
-            stage(kv, ks)
+    # same tiered per-tile branch as the gather forward — the staged taps
+    # are the exact transpose of whichever loop the forward ran
+    # (covered_by is a pure function of the coordinates both share)
+    tiered_taps(geom, stage, kv, ks)
 
     # forward read the window left-rolled by rc; the transpose rolls the
     # contribution right by rc before adding at the 128-aligned base

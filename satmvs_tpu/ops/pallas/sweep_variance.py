@@ -27,7 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .sweep_gather import (
-    BLOCK_ROWS, FAST_STENCIL, PAD, VPAD, _TileGeom, _round_up, tile_bases,
+    BLOCK_ROWS, PAD, VPAD, _TileGeom, _round_up, tile_bases, tiered_taps,
 )
 
 
@@ -95,22 +95,14 @@ def _sweep_variance_kernel(
                                                       ds : ds + width]
             return acc
 
-        if kv <= FAST_STENCIL and ks <= FAST_STENCIL:
-            warped = taps(kv, ks)
-        else:
-            # per-tile fast/slow tap branch (see sweep_gather.py): values
-            # can't cross pl.when, so the branches meet in a VMEM scratch
-            fast = geom.covered_by(FAST_STENCIL, FAST_STENCIL)
+        # tiered per-tile tap grids (9/25/full taps — sweep_gather.tiered_
+        # taps): branches meet in the VMEM scratch (values can't cross
+        # pl.when)
+        def run(kv_, ks_):
+            warped_ref[...] = taps(kv_, ks_)
 
-            @pl.when(fast)
-            def _():
-                warped_ref[...] = taps(FAST_STENCIL, FAST_STENCIL)
-
-            @pl.when(jnp.logical_not(fast))
-            def _():
-                warped_ref[...] = taps(kv, ks)
-
-            warped = warped_ref[...]
+        tiered_taps(geom, run, kv, ks)
+        warped = warped_ref[...]
         acc_sum = acc_sum + warped
         acc_sq = acc_sq + warped * warped
 

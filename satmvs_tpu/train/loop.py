@@ -75,12 +75,18 @@ def resolve_sweep_stencil(cfg: Config, sample_batch: dict) -> int:
 def create_model_and_state(cfg: Config, sample_batch: dict, steps_per_epoch: int,
                            rng: Optional[jax.Array] = None):
     """Build the configured model and initialize TrainState from one batch."""
+    import os
+
     model = build_model(
         cfg.model, cfg.geo_model,
         ndepths=tuple(cfg.ndepths),
         cr_base_chs=tuple(cfg.cr_base_chs),
         sweep_stencil=resolve_sweep_stencil(cfg, sample_batch),
         compute_dtype=(jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None),
+        # env read ONCE at model build (a trace-time read would be silently
+        # cached by the first jitted step) — the A/B knob for training with
+        # the fused sweep kernel instead of per-view gathers
+        train_fused_sweep=os.environ.get("SATMVS_TRAIN_FUSED_SWEEP") == "1",
         **({"min_interval": cfg.min_interval,
             "depth_intervals_ratio": tuple(cfg.depth_inter_r)}
            if cfg.model in ("red", "casmvs") else {"lamb": cfg.lamb}),
@@ -189,15 +195,30 @@ def fit(cfg: Config, train_loader, test_loader, workdir: str,
                 "regularizers (casmvs/ucs); the RED recurrence scans depth "
                 "sequentially on-chip by design"
             )
+        if cfg.mesh_depth > 1 and cfg.mesh_spatial > 1:
+            raise ValueError(
+                "combined depth+spatial sharding of the same cost volume "
+                "miscomputes gradients through XLA GSPMD's strided-conv "
+                "backward (~1.3% of grad scale measured at 2x2 shards even "
+                "with every pyramid level at extent >= shards — NOTES.md); "
+                "use --mesh_depth or --mesh_spatial, not both"
+            )
         if cfg.batch_size % cfg.mesh_data:
             raise ValueError(
                 f"batch_size {cfg.batch_size} not divisible by mesh_data {cfg.mesh_data}"
             )
         mesh = make_mesh(cfg.mesh_data, cfg.mesh_spatial, cfg.mesh_depth)
         if cfg.mesh_spatial > 1 or cfg.mesh_depth > 1:
+            # guarded per-stage specs: BOTH conv dims (depth hypotheses and
+            # image rows) shard only where every strided-conv-pyramid level
+            # keeps extent ≥ shards (the GSPMD backward trap, NOTES.md);
+            # combined depth+spatial under these guards is gradient-parity
+            # tested (tests/test_dist.py::test_combined_depth_spatial_…)
             model = model.clone(volume_partition=stage_volume_specs(
                 tuple(cfg.ndepths), spatial=cfg.mesh_spatial > 1,
                 depth_shards=cfg.mesh_depth,
+                spatial_shards=cfg.mesh_spatial,
+                height=int(numeric_batch(first)["imgs"].shape[2]),
             ))
         state = replicate(state, mesh)
         shard_in = lambda b: shard_batch(numeric_batch(b), mesh)

@@ -6,7 +6,10 @@ Measures, at one or more tile geometries:
   * full-volume CascadeRED forward (models.CascadeREDNet, fused kernels)
   * streaming_red_forward with --slab k (fused sweep + state-seeded fused
     recurrence per depth slab; ref plane-streaming at casred.py:161-238)
-  * peak device memory of each (jax memory_stats), to show the O(slab) win
+  * device memory of each — from XLA's per-executable memory_analysis
+    (argument + temp + output bytes of the compiled program), NOT the
+    process-cumulative peak_bytes_in_use, which whichever run goes second
+    would inherit; live peak is also printed for the first-run config.
 
 Usage: python scripts/stream_bench.py [--sizes 384x768,1024x2048] [--slab 8]
 """
@@ -26,11 +29,28 @@ if os.environ.get("SATMVS_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["SATMVS_PLATFORM"])
 
 
+def _mem_analysis_mb(fn, *args):
+    """Compiled-program device memory (MB): args + temps + output."""
+    import jax
+
+    try:
+        ma = jax.jit(fn).lower(*args).compile().memory_analysis()
+        tot = (ma.argument_size_in_bytes + ma.temp_size_in_bytes
+               + ma.output_size_in_bytes)
+        return tot / 1e6, ma.temp_size_in_bytes / 1e6
+    except Exception as e:  # noqa: BLE001 — backend may not support it
+        print(f"  (memory_analysis unavailable: {e})", file=sys.stderr)
+        return float("nan"), float("nan")
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--sizes", default="384x768,1024x2048")
     p.add_argument("--ndepths", default="64,32,8")
     p.add_argument("--slab", type=int, default=8)
+    p.add_argument("--skip_full", action="store_true",
+                   help="measure only the streaming path (e.g. when the "
+                        "full volume OOMs)")
     a = p.parse_args()
 
     import jax
@@ -44,13 +64,6 @@ def main() -> None:
 
     nd = tuple(int(x) for x in a.ndepths.split(","))
 
-    def peak_mb():
-        try:
-            st = jax.local_devices()[0].memory_stats()
-            return st.get("peak_bytes_in_use", 0) / 1e6
-        except Exception:
-            return float("nan")
-
     for size in a.sizes.split(","):
         h, w = (int(x) for x in size.split("x"))
         batch = numeric_batch(synthetic.make_batch(1, w, h, seed=0))
@@ -59,16 +72,6 @@ def main() -> None:
         model = CascadeREDNet(geo_model="rpc", ndepths=nd)
         variables = model.init(jax.random.PRNGKey(0), imgs, batch["cams"],
                                dvals, train=False)
-
-        def full(c):
-            out = model.apply(variables, imgs + c * 1e-12, batch["cams"],
-                              dvals, train=False)
-            return out["depth"].ravel()[0]
-
-        dt_full = bench._time_fn(full, iters=5)
-        mb_full = peak_mb()
-        print(f"{size}: full-volume  {dt_full * 1e3:8.1f} ms/image "
-              f"({1 / dt_full:5.2f} img/s)  peak {mb_full:.0f} MB")
 
         stream = functools.partial(
             streaming_red_forward, variables, geo_model="rpc", ndepths=nd,
@@ -80,11 +83,26 @@ def main() -> None:
                          depth_values=dvals)
             return out["depth"].ravel()[0]
 
+        def full(c):
+            out = model.apply(variables, imgs + c * 1e-12, batch["cams"],
+                              dvals, train=False)
+            return out["depth"].ravel()[0]
+
+        mb_s, tmp_s = _mem_analysis_mb(strm, jnp.float32(0))
         dt_s = bench._time_fn(strm, iters=5)
-        mb_s = peak_mb()
         print(f"{size}: slab={a.slab:2d}     {dt_s * 1e3:8.1f} ms/image "
-              f"({1 / dt_s:5.2f} img/s)  peak {mb_s:.0f} MB  "
-              f"({dt_s / dt_full:.2f}x full-volume time)")
+              f"({1 / dt_s:5.2f} img/s)  mem {mb_s:7.0f} MB "
+              f"(temps {tmp_s:.0f})", flush=True)
+
+        if a.skip_full:
+            continue
+        mb_f, tmp_f = _mem_analysis_mb(full, jnp.float32(0))
+        dt_full = bench._time_fn(full, iters=5)
+        print(f"{size}: full-volume  {dt_full * 1e3:8.1f} ms/image "
+              f"({1 / dt_full:5.2f} img/s)  mem {mb_f:7.0f} MB "
+              f"(temps {tmp_f:.0f})  "
+              f"[slab = {dt_s / dt_full:.2f}x time, {mb_s / mb_f:.2f}x mem]",
+              flush=True)
 
 
 if __name__ == "__main__":

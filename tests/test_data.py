@@ -158,6 +158,33 @@ def test_dataset_sample_and_loader(synth_root):
     assert len(b["out_name"]) == 2
 
 
+def test_dataset_direct_only_rpc_fits_inverse(tmp_path, synth_root):
+    """A dataset whose .rpc files ship only the 90 direct values must load:
+    the inverse block is fitted on the fly (ref RPCCore.py:31,188-240) and
+    must pass the Check_RPC round-trip gate."""
+    import shutil
+
+    from satmvs_tpu.geo import rpc as rpclib
+
+    root = tmp_path / "direct_only"
+    shutil.copytree(synth_root, root)
+    rpc_paths = sorted(str(p) for p in root.rglob("*.rpc"))
+    assert rpc_paths
+    for p in rpc_paths:
+        data = formats.load_rpc(p)[0]
+        formats.save_rpc(p, data[:90])
+
+    ds = MVSDataset(str(root), "test", view_num=3)
+    sample = ds[0]
+    assert sample["imgs"].shape[0] == 3
+    # the fitted inverse must round-trip sub-0.1-px on the image grid
+    fitted = ds._load_rpc_full(rpc_paths[0])
+    err = rpclib.check_rpc(fitted, 64, 64, xy_samples=10, h_samples=5)
+    assert float(err.max()) < 0.1
+    # cache: second load returns the identical array (no refit)
+    assert ds._load_rpc_full(rpc_paths[0]) is fitted
+
+
 def test_dataset_pred_mode(synth_root):
     ds = MVSDataset(synth_root, "pred", view_num=3)
     assert len(ds) == 6  # every view takes a turn as reference

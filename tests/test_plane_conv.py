@@ -142,6 +142,36 @@ def test_conv_head_grad():
     np.testing.assert_allclose(gb, rb, atol=1e-4, rtol=1e-4)
 
 
+def test_packed_pipeline_feasibility_gate():
+    """Geometry/VMEM gate (ADVICE r2): wide tiles whose phase packs go odd
+    (e.g. W=2048 ⇒ row-pack 1) and huge tiles that blow VMEM must report
+    infeasible; the production patch geometry must stay feasible."""
+    from satmvs_tpu.nn.red import packed_pipeline_feasible
+
+    # production stages: 1 = (96,192,cin=32), 3 = (384,768,cin=8)
+    assert packed_pipeline_feasible(96, 192, 32, 8, train=True)
+    assert packed_pipeline_feasible(384, 768, 8, 8, train=True)
+    # W=2048: _pack_rows(h, 2048) == 1 (odd) -> no phase deconv
+    assert not packed_pipeline_feasible(16, 2048, 8, 8)
+    # 512x1024 tile: the scale-1 red_recur flat pads + scratch exceed VMEM
+    assert not packed_pipeline_feasible(512, 1024, 8, 8)
+
+
+def test_red_regularizer_fused_falls_back_on_wide_tiles():
+    """REDRegularizer(fused=True) at an infeasible geometry must not crash
+    (the old behavior: trace-time assert in _phase_deconv) — it silently
+    takes the scan path and matches it."""
+    from satmvs_tpu.nn.red import REDRegularizer
+
+    b, d, h, w, c = 1, 2, 16, 2048, 8
+    vol = _rand((b, d, h, w, c), 11) * 0.1
+    reg = REDRegularizer(c)
+    variables = reg.init(jax.random.PRNGKey(0), vol)
+    ref = reg.apply(variables, vol, False)
+    fused = reg.apply(variables, vol, True)  # gate -> scan fallback
+    np.testing.assert_allclose(fused, ref, atol=0, rtol=0)
+
+
 def test_red_regularizer_fused_pipeline_matches_scan():
     """The full row-packed pipeline (pack -> conv_dn x3 -> red_recur_packed x4
     -> deconv_up x3 -> conv_head) == the XLA scan path, values AND grads."""
