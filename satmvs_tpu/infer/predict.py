@@ -70,6 +70,7 @@ def streaming_red_forward(
     slab: int = 0,
     sweep_stencil: int = 8,
     fused: bool | None = None,
+    torch_compat: bool = False,
 ):
     """Full cascade forward with plane/slab streaming.  Same input contract
     as CascadeModel.__call__; jit-friendly (wrap in jax.jit with static
@@ -80,6 +81,13 @@ def streaming_red_forward(
     uses the fused sweep + state-seeded fused recurrence per k-plane slab —
     each ndepth must be divisible by the slab (or ≥ it; a stage whose full
     D fits one slab runs unstreamed).
+
+    torch_compat: reference-checkpoint parity mode (same semantics as
+    CascadeModel.torch_compat): sample warped features at the positions the
+    reference's grid_sample(align_corners=False) reads, and reproduce its
+    full-res-then-trilinear-downsample hypothesis chain (casred.py:133-145)
+    — so a converted reference checkpoint streams to the reference's
+    answers.
     """
     num_stage = len(ndepths)
     scales = STAGE_SCALES[num_stage]
@@ -109,7 +117,26 @@ def streaming_red_forward(
         sh, sw = height // scale, width // scale
         nd = ndepths[i]
         interval = depth_intervals_ratio[i] * min_interval
-        hyps = stage_hypotheses(nd, sh, sw, d_min, d_max, interval, depth=depth)
+        if torch_compat and depth is not None:
+            # reference chain: prev depth → bilinear up to FULL res →
+            # per-pixel window → trilinear down to stage res
+            # (casred.py:133-145; mirrors CascadeModel's torch_compat path)
+            from ..ops import depth_range
+
+            cur_full = jax.vmap(
+                lambda x: depth_range.upsample_map(x, height, width)
+            )(depth)
+            hyps_full = jax.vmap(
+                lambda c: depth_range.window_samples(c, nd, interval)
+            )(cur_full)
+            hyps = jax.vmap(
+                lambda v: jax.image.resize(v, (nd, sh, sw),
+                                           method="trilinear",
+                                           antialias=False)
+            )(hyps_full)
+        else:
+            hyps = stage_hypotheses(nd, sh, sw, d_min, d_max, interval,
+                                    depth=depth)
 
         feats_i = stage_feats[i]
         cams_i = cams[i]
@@ -147,6 +174,7 @@ def streaming_red_forward(
             logits_of_slab = _make_slab_logits(
                 step_mod, step_params, geo_model, feats_i, cams_i, b, k,
                 stage_fused_red, sweep_stencil, fused_vol=fused_red,
+                convention="torch" if torch_compat else "exact",
             )
 
             def slab_step(carry, hyp_slab, logits_of_slab=logits_of_slab):
@@ -176,6 +204,7 @@ def streaming_red_forward(
                 vol = build_stage_volume(
                     geo_model, feats_i, cams_i, hyp_plane[:, None],
                     stencil=sweep_stencil,
+                    convention="torch" if torch_compat else "exact",
                 )
                 cost = vol[:, 0]  # (B, sh, sw, C)
                 states, logit = step_mod.apply(step_params, states, cost)
@@ -200,7 +229,8 @@ def streaming_red_forward(
 
 
 def _make_slab_logits(step_mod, step_params, geo_model, feats_i, cams_i,
-                      batch, k, fused_red, stencil, fused_vol=None):
+                      batch, k, fused_red, stencil, fused_vol=None,
+                      convention="exact"):
     """(states, hyp_slab (B, k, sh, sw)) → (states, logits (B, k, sh, sw)).
 
     Fused form: one sweep_variance kernel per slab, batched encode/decode,
@@ -214,7 +244,7 @@ def _make_slab_logits(step_mod, step_params, geo_model, feats_i, cams_i,
     def slab_logits(states, hyp_slab):
         vol = build_stage_volume(
             geo_model, feats_i, cams_i, hyp_slab, fused=fused_vol,
-            stencil=stencil,
+            stencil=stencil, convention=convention,
         )  # (B, k, sh, sw, C)
         if not fused_red:
             def plane(st, cost):

@@ -141,40 +141,68 @@ class _TileGeom:
         max_ds = jnp.max(jnp.where(self.valid_any, self.ds_idx, z))
         return (max_dv + 1 <= fkv) & (max_ds + 1 <= fks)
 
+    def spans(self, kv: int, ks: int):
+        """(vspan, hspan): tap counts needed by this tile per axis — a valid
+        sample at offset idx touches taps idx and idx+1, so the count is
+        max_idx + 2, clamped to the stencil's k+1 (taps beyond the stencil
+        are dropped by EVERY path — the count_misses contract)."""
+        z = jnp.int32(0)
+        max_dv = jnp.max(jnp.where(self.valid_any, self.dv_idx, z))
+        max_ds = jnp.max(jnp.where(self.valid_any, self.ds_idx, z))
+        return (jnp.minimum(max_dv + 2, kv + 1),
+                jnp.minimum(max_ds + 2, ks + 1))
 
-FAST_STENCIL = 4   # tap half-width of the in-kernel fast path
-MICRO_STENCIL = 2  # narrowest tier: 9 taps — covers ≥90% of tiles at the
-                   # production geometry (measured round 3; satellite warps
-                   # are locally near-affine, so an 8-row tile's integer tap
-                   # span rarely exceeds 2 once the base offset is removed)
+
+FAST_STENCIL = 4   # horizontal tap tier of the dynamic-row path (5 taps/row)
+MICRO_STENCIL = 2  # static fast-branch tap grid (3x3 taps)
 
 
-def tiered_taps(geom: "_TileGeom", run, kv: int, ks: int) -> None:
-    """Per-tile tap-grid dispatch shared by gather/scatter/variance kernels.
+def dispatch_taps(run_static, run_dyn, vs, hs, kv: int, ks: int) -> None:
+    """Per-tile tap dispatch shared by the gather/scatter/variance kernels.
 
-    `run(kv_, ks_)` must WRITE its result into a ref (values can't cross
-    `pl.when`).  Runs the narrowest tap grid that is exact for this tile —
-    tiers (MICRO, FAST, full); `covered_by` proves exactness, so every tier
-    produces bit-identical output to the full loop.  Forward and transpose
-    share `_TileGeom`, so both always pick the same tier."""
-    tiers = [t for t in (MICRO_STENCIL, FAST_STENCIL) if t < min(kv, ks)]
-    if not tiers:
-        run(kv, ks)
-        return
-    prev = None
-    for t in tiers:
-        c = geom.covered_by(t, t)
-        pred = c if prev is None else c & jnp.logical_not(prev)
+    vs/hs are the tile's needed tap counts per axis (`tile_spans` /
+    `_TileGeom.spans`).  Three regimes, each bit-exact (the chosen loops
+    cover every needed tap; taps beyond a span have zero weight):
 
-        @pl.when(pred)
-        def _(t=t):
-            run(t, t)
+      * micro (vs,hs ≤ 3): `run_static(MICRO, MICRO)` — fully static 3×3
+        tap unroll over the whole pre-rolled patch, the cheapest form
+        (measured faster than the dynamic-row loop at tiny spans: no
+        per-row rolls, no fori overhead).  ≥90% of tiles at the coarse
+        production stages.
+      * dynamic rows (anything else): `run_dyn(ks_t)` — a dynamic-trip
+        fori_loop over vs rows (rows live in the untiled leading dim, so a
+        traced pl.ds offset is legal) with a static ks_t+1-tap unroll per
+        row, ks_t the narrowest of (FAST, ks) covering hs.  Satellite warps
+        are anisotropic (measured: vertical ≤3 taps everywhere, horizontal
+        up to 8 along the epipolar direction at full-res stages), so this
+        caps the worst tile at vs·(ks_t+1) taps instead of (ks+1)².
 
-        prev = c if prev is None else jnp.logical_or(prev, c)
+    `run_*` must WRITE results into a ref (values can't cross pl.when)."""
+    m1 = MICRO_STENCIL + 1
+    fast = jnp.logical_and(vs <= m1, hs <= m1)
 
-    @pl.when(jnp.logical_not(prev))
+    @pl.when(fast)
     def _():
-        run(kv, ks)
+        # clamp to the stencil so taps the full loop would drop (the
+        # count_misses contract) stay dropped here too
+        run_static(min(MICRO_STENCIL, kv), min(MICRO_STENCIL, ks))
+
+    notfast = jnp.logical_not(fast)
+    tiers = [t for t in (FAST_STENCIL,) if t < ks] + [ks]
+    if len(tiers) == 1:
+        @pl.when(notfast)
+        def _():
+            run_dyn(ks)
+        return
+    mid = jnp.logical_and(notfast, hs <= FAST_STENCIL + 1)
+
+    @pl.when(mid)
+    def _():
+        run_dyn(FAST_STENCIL)
+
+    @pl.when(jnp.logical_and(notfast, jnp.logical_not(hs <= FAST_STENCIL + 1)))
+    def _():
+        run_dyn(ks)
 
 
 def tile_bases(xs: jnp.ndarray, ys: jnp.ndarray, height: int, width: int,
@@ -217,19 +245,73 @@ def tile_bases(xs: jnp.ndarray, ys: jnp.ndarray, height: int, width: int,
     return row_start, col_start128, rc
 
 
-def _gather_taps(geom, patch, out_ref, *, kv, ks, bh, channels, width):
+def tile_spans(xs: jnp.ndarray, ys: jnp.ndarray, height: int, width: int,
+               kv: int, ks: int):
+    """XLA mirror of `_TileGeom.spans` for every (plane, tile): per-tile tap
+    counts (vspan, hspan), each (D, n_tiles) int32 — scalar-prefetched so
+    kernels can run a dynamic-trip row loop and pick the horizontal tap tier
+    without in-kernel reductions.  Same integer math as `tile_bases` (shares
+    its window placement)."""
+    d = xs.shape[0]
+    bh = BLOCK_ROWS
+    n_tiles = height // bh
+    row_start, col_start128, rc = tile_bases(xs, ys, height, width, kv, ks)
+    x0 = jnp.floor(xs).astype(jnp.int32).reshape(d, n_tiles, bh, width)
+    y0 = jnp.floor(ys).astype(jnp.int32).reshape(d, n_tiles, bh, width)
+    jj = jnp.arange(width, dtype=jnp.int32)[None, None, None, :]
+    ii = (jnp.arange(height, dtype=jnp.int32).reshape(n_tiles, bh))[None, :, :, None]
+    rel_x = x0 - jj
+    rel_y = y0 - ii
+    valid = (x0 >= -1) & (x0 <= width - 1) & (y0 >= -1) & (y0 <= height - 1)
+    tile_row0 = (jnp.arange(n_tiles, dtype=jnp.int32) * bh)[None, :, None, None]
+    dv_idx = rel_y - (row_start[:, :, None, None] - VPAD - tile_row0)
+    ds_idx = rel_x - ((col_start128 + rc)[:, :, None, None] - PAD)
+    z = jnp.int32(0)
+    max_dv = jnp.max(jnp.where(valid, dv_idx, z), axis=(2, 3))
+    max_ds = jnp.max(jnp.where(valid, ds_idx, z), axis=(2, 3))
+    return (jnp.minimum(max_dv + 2, kv + 1),
+            jnp.minimum(max_ds + 2, ks + 1))
+
+
+def _gather_taps_static(geom, patch, out_ref, *, kv_, ks_, bh, channels,
+                        width, idx=0):
+    """Fully static tap unroll over the whole pre-rolled patch — the fast
+    branch of `dispatch_taps` (micro tiles)."""
     acc = jnp.zeros((bh, channels, width), jnp.float32)
-    for dv in range(kv + 1):
+    for dv in range(kv_ + 1):
         wv = geom.wv(dv)
-        for ds in range(ks + 1):
+        for ds in range(ks_ + 1):
             w = wv * geom.wh(ds)                      # (BH, W)
-            cols = patch[dv : dv + bh, :, ds : ds + width]
-            acc = acc + w[:, None, :] * cols
-    out_ref[0] = acc
+            acc = acc + w[:, None, :] * patch[dv : dv + bh, :, ds : ds + width]
+    out_ref[idx] = acc
+
+
+def _gather_taps_dyn(geom, patch_at, out_ref, vspan, rc, wpp,
+                     *, ks_t, bh, channels, width, idx=0):
+    """Row loop over the tile's measured vertical tap count (dynamic trip —
+    rows live in the untiled leading dim, so pl.ds with a traced offset is
+    legal), with a static ks_t+1-tap unroll per row.  `patch_at(dv)` yields
+    the un-rolled (BH, C, wpp) window rows at tap dv; the rc residual roll
+    is applied per row-slab here.  Accumulates into `out_ref[idx]`."""
+    out_ref[idx] = jnp.zeros((bh, channels, width), jnp.float32)
+
+    def body(dv, _):
+        rows = patch_at(dv)                           # (bh, C, wpp)
+        rows = pltpu.roll(rows, wpp - rc, 2)
+        wv = geom.wv(dv)
+        acc = jnp.zeros((bh, channels, width), jnp.float32)
+        for ds in range(ks_t + 1):
+            w = wv * geom.wh(ds)                      # (BH, W)
+            acc = acc + w[:, None, :] * rows[:, :, ds : ds + width]
+        out_ref[idx] = out_ref[idx] + acc
+        return 0
+
+    jax.lax.fori_loop(0, vspan, body, 0)
 
 
 def _sweep_gather_kernel(
-    rs_ref, cs_ref, rc_ref, x_ref, y_ref, src_hbm, out_ref, patch_ref, sems,
+    rs_ref, cs_ref, rc_ref, vs_ref, hs_ref, x_ref, y_ref, src_hbm, out_ref,
+    patch_ref, sems,
     *, kv: int, ks: int, height: int, width: int, channels: int,
     n_d: int, n_tiles: int,
 ):
@@ -272,19 +354,19 @@ def _sweep_gather_kernel(
 
     dma_for(slot, di, t).wait()
 
-    patch = patch_ref[slot]                           # (kh, C, wpp)
     # dynamic roll shifts must be non-negative (negative traced shifts
     # miscompute silently) — roll left by rc via a right-roll of wpp − rc.
-    patch = pltpu.roll(patch, wpp - rc, 2)
+    def patch_at(dv):
+        return patch_ref[slot, pl.ds(dv, bh)]         # (bh, C, wpp)
 
     kw = dict(bh=bh, channels=channels, width=width)
-    # tiered per-tile tap grids (9/25/full) — each tile runs the narrowest
-    # loop its measured tap span proves exact (tiered_taps)
-    tiered_taps(
-        geom,
-        lambda kv_, ks_: _gather_taps(geom, patch, out_ref,
-                                      kv=kv_, ks=ks_, **kw),
-        kv, ks,
+    dispatch_taps(
+        lambda kv_, ks_: _gather_taps_static(
+            geom, pltpu.roll(patch_ref[slot], wpp - rc, 2), out_ref,
+            kv_=kv_, ks_=ks_, **kw),
+        lambda ks_t: _gather_taps_dyn(
+            geom, patch_at, out_ref, vs_ref[di, t], rc, wpp, ks_t=ks_t, **kw),
+        vs_ref[di, t], hs_ref[di, t], kv, ks,
     )
 
 
@@ -306,6 +388,7 @@ def _sweep_gather_impl(src: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
 
     n_tiles = h // BLOCK_ROWS
     row_start, col_start128, rc = tile_bases(xs, ys, h, w, kv, ks)
+    vspan, hspan = tile_spans(xs, ys, h, w, kv, ks)
     kernel = functools.partial(
         _sweep_gather_kernel, kv=kv, ks=ks, height=h, width=w, channels=c,
         n_d=d, n_tiles=n_tiles,
@@ -313,7 +396,7 @@ def _sweep_gather_impl(src: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=5,
             grid=(d, n_tiles),
             in_specs=[
                 pl.BlockSpec((1, BLOCK_ROWS, w), lambda di, ti, *_: (di, ti, 0),
@@ -338,7 +421,7 @@ def _sweep_gather_impl(src: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(row_start, col_start128, rc, xs, ys, src_pad)
+    )(row_start, col_start128, rc, vspan, hspan, xs, ys, src_pad)
     return jnp.swapaxes(out, 2, 3)                          # (D, H, W, C)
 
 
@@ -375,7 +458,13 @@ def _sweep_scatter_kernel(
     # stage the tile's tap contributions in window coordinates
     win_ref[...] = jnp.zeros_like(win_ref)
 
-    def stage(kv_, ks_):
+    # same span-driven dispatch as the gather forward — the staged taps are
+    # the exact transpose of whatever the forward ran (spans are a pure
+    # function of the coordinates both share); no scalar prefetch here, so
+    # the spans come from the in-kernel reductions
+    vs, hs = geom.spans(kv, ks)
+
+    def stage_static(kv_, ks_):
         for dv in range(kv_ + 1):
             wv = geom.wv(dv)
             for ds in range(ks_ + 1):
@@ -384,10 +473,22 @@ def _sweep_scatter_kernel(
                     win_ref[dv : dv + bh, :, ds : ds + width] + w[:, None, :] * g
                 )
 
-    # same tiered per-tile branch as the gather forward — the staged taps
-    # are the exact transpose of whichever loop the forward ran
-    # (covered_by is a pure function of the coordinates both share)
-    tiered_taps(geom, stage, kv, ks)
+    def stage_dyn(ks_t):
+        # per-tap ref RMW — .at[].add on a value would lower to scatter-add,
+        # which Mosaic has no TPU lowering for (interpret mode hides this)
+        def body(dv, _):
+            wv = geom.wv(dv)
+            for ds in range(ks_t + 1):
+                w = wv * geom.wh(ds)                  # (BH, W)
+                win_ref[pl.ds(dv, bh), :, ds : ds + width] = (
+                    win_ref[pl.ds(dv, bh), :, ds : ds + width]
+                    + w[:, None, :] * g
+                )
+            return 0
+
+        jax.lax.fori_loop(0, vs, body, 0)
+
+    dispatch_taps(stage_static, stage_dyn, vs, hs, kv, ks)
 
     # forward read the window left-rolled by rc; the transpose rolls the
     # contribution right by rc before adding at the 128-aligned base

@@ -27,13 +27,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .sweep_gather import (
-    BLOCK_ROWS, PAD, VPAD, _TileGeom, _round_up, tile_bases, tiered_taps,
+    BLOCK_ROWS, PAD, VPAD, _TileGeom, _gather_taps_dyn, _gather_taps_static,
+    _round_up, dispatch_taps, tile_bases, tile_spans,
 )
 
 
 def _sweep_variance_kernel(
-    rs_ref, cs_ref, rc_ref, x_ref, y_ref, ref_tile, srcs_hbm, out_ref,
-    patch_ref, warped_ref, sems,
+    rs_ref, cs_ref, rc_ref, vs_ref, hs_ref, x_ref, y_ref, ref_tile, srcs_hbm,
+    out_ref, patch_ref, warped_ref, sems,
     *, kv: int, ks: int, height: int, width: int, channels: int, n_src: int,
     n_d: int, n_tiles: int,
 ):
@@ -82,26 +83,22 @@ def _sweep_variance_kernel(
                          bases=(rs_ref[s, di, t], cs_ref[s, di, t],
                                 rc_ref[s, di, t]))
         dma_for(slot, s, di, t).wait()
-        patch = patch_ref[slot, s]
-        patch = pltpu.roll(patch, wpp - geom.rc, 2)
 
-        def taps(kv_, ks_):
-            acc = jnp.zeros((bh, channels, width), jnp.float32)
-            for dv in range(kv_ + 1):
-                wv = geom.wv(dv)
-                for ds in range(ks_ + 1):
-                    w = wv * geom.wh(ds)
-                    acc = acc + w[:, None, :] * patch[dv : dv + bh, :,
-                                                      ds : ds + width]
-            return acc
+        def patch_at(dv, slot=slot, s=s):
+            return patch_ref[slot, s, pl.ds(dv, bh)]  # (bh, C, wpp)
 
-        # tiered per-tile tap grids (9/25/full taps — sweep_gather.tiered_
-        # taps): branches meet in the VMEM scratch (values can't cross
-        # pl.when)
-        def run(kv_, ks_):
-            warped_ref[...] = taps(kv_, ks_)
-
-        tiered_taps(geom, run, kv, ks)
+        # span-driven tap dispatch (sweep_gather.dispatch_taps); branches
+        # meet in the VMEM scratch (values can't cross pl.when)
+        kw = dict(bh=bh, channels=channels, width=width, idx=...)
+        dispatch_taps(
+            lambda kv_, ks_, slot=slot, s=s: _gather_taps_static(
+                geom, pltpu.roll(patch_ref[slot, s], wpp - geom.rc, 2),
+                warped_ref, kv_=kv_, ks_=ks_, **kw),
+            lambda ks_t: _gather_taps_dyn(
+                geom, patch_at, warped_ref, vs_ref[s, di, t], geom.rc, wpp,
+                ks_t=ks_t, **kw),
+            vs_ref[s, di, t], hs_ref[s, di, t], kv, ks,
+        )
         warped = warped_ref[...]
         acc_sum = acc_sum + warped
         acc_sq = acc_sq + warped * warped
@@ -137,6 +134,9 @@ def _sweep_variance_impl(ref: jnp.ndarray, srcs: jnp.ndarray, xs: jnp.ndarray, y
     row_start = jnp.stack([b[0] for b in bases])              # (S, D, T)
     col_start128 = jnp.stack([b[1] for b in bases])
     rc = jnp.stack([b[2] for b in bases])
+    spans = [tile_spans(xs[s], ys[s], h, w, kv, ks) for s in range(n_src)]
+    vspan = jnp.stack([sp[0] for sp in spans])                # (S, D, T)
+    hspan = jnp.stack([sp[1] for sp in spans])
     kernel = functools.partial(
         _sweep_variance_kernel, kv=kv, ks=ks, height=h, width=w, channels=c,
         n_src=n_src, n_d=d, n_tiles=n_tiles,
@@ -144,7 +144,7 @@ def _sweep_variance_impl(ref: jnp.ndarray, srcs: jnp.ndarray, xs: jnp.ndarray, y
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=5,
             grid=(d, n_tiles),
             in_specs=[
                 pl.BlockSpec((n_src, 1, BLOCK_ROWS, w),
@@ -174,7 +174,7 @@ def _sweep_variance_impl(ref: jnp.ndarray, srcs: jnp.ndarray, xs: jnp.ndarray, y
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(row_start, col_start128, rc, xs, ys, ref_hcw, srcs_pad)
+    )(row_start, col_start128, rc, vspan, hspan, xs, ys, ref_hcw, srcs_pad)
     return jnp.swapaxes(out, 2, 3)                            # (D, H, W, C)
 
 

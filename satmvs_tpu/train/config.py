@@ -43,6 +43,10 @@ class Config:
     sweep_stencil: int = 0
     # Conv compute dtype ("float32" | "bfloat16"); params/geometry stay fp32.
     compute_dtype: str = "float32"
+    # Reference-checkpoint parity mode: reproduce the reference's
+    # grid_sample(align_corners=False) sampling convention + its full-res-
+    # then-downsample hypothesis chain (models/cascade.py torch_compat).
+    torch_compat: bool = False
 
     # optimization
     epochs: int = 30

@@ -60,6 +60,10 @@ def main() -> None:
                    help="streaming slab size (planes per scan step; 0 = one "
                         "plane at a time). TPU: fused sweep + state-seeded "
                         "fused recurrence per slab")
+    p.add_argument("--torch_compat", action="store_true",
+                   help="reference-checkpoint parity mode: reproduce the "
+                        "reference's grid_sample convention + hypothesis "
+                        "chain so converted checkpoints predict its answers")
     p.add_argument("--fuse", action="store_true", help="fuse views into a DSM")
     p.add_argument("--p_ratio", type=float, default=1.0)
     p.add_argument("--d_ratio", type=float, default=2.5)
@@ -74,6 +78,7 @@ def main() -> None:
         depth_inter_r=tuple(float(x) for x in a.depth_inter_r.split(",") if x),
         cr_base_chs=tuple(int(x) for x in a.cr_base_chs.split(",") if x),
         min_interval=a.min_interval, lamb=a.lamb, view_num=a.view_num,
+        torch_compat=a.torch_compat,
     )
 
     ds = find_dataset(a.geo_model)(
@@ -117,7 +122,7 @@ def main() -> None:
                 geo_model=a.geo_model, ndepths=cfg.ndepths,
                 depth_intervals_ratio=cfg.depth_inter_r,
                 min_interval=cfg.min_interval, cr_base_chs=cfg.cr_base_chs,
-                slab=a.slab,
+                slab=a.slab, torch_compat=a.torch_compat,
             )
         )
         run = lambda nb: forward(variables, nb["imgs"], nb["cams"], nb["depth_values"])
