@@ -66,6 +66,7 @@ def predict_scene(
     progress: Optional[Callable[[int, int], None]] = None,
     batch_tiles: int = 1,
     mesh=None,
+    stats: Optional[dict] = None,
 ):
     """Predict a full scene's reference-view height map by tiling.
 
@@ -84,6 +85,14 @@ def predict_scene(
         multiple).  Without a mesh it is plain on-chip batching.
       mesh: optional jax.sharding.Mesh with a `data` axis for multi-chip
         tile parallelism.
+      stats: optional dict — filled with wall/host-prep/readback seconds so
+        callers can verify host prep stays off the critical path.
+
+    Host/device overlap: JAX dispatch is asynchronous, so the loop preps and
+    dispatches chunk i+1 while the device still runs chunk i, and only then
+    blocks on chunk i's outputs (double-buffered readback).  Pad tiles of a
+    ragged final chunk reuse the already-built inputs instead of recomputing
+    them.
 
     Returns (depth (H, W) float32, confidence (H, W) float32).
     """
@@ -143,30 +152,70 @@ def predict_scene(
     depth_outs: list[np.ndarray] = [None] * len(tiles)
     conf_outs: list[np.ndarray] = [None] * len(tiles)
     done = 0
+    import time as _time
+
+    t_wall0 = _time.perf_counter()
+    t_prep = 0.0
+    t_read = 0.0
+
+    chunks = []
     for members in groups.values():
         for i0 in range(0, len(members), batch_tiles):
-            chunk = members[i0 : i0 + batch_tiles]
-            padded = chunk + [chunk[-1]] * (batch_tiles - len(chunk))
-            ins = [tile_inputs(tiles[k]) for k in padded]
-            imgs_b = jnp.asarray(np.stack([im for im, _ in ins]))
-            cams_b = tuple(
-                warplib.stack_cams([c[s] for _, c in ins])
-                for s in range(num_stage)
+            chunks.append(members[i0 : i0 + batch_tiles])
+
+    def dispatch(chunk):
+        """Host-prep + async device dispatch of one chunk (returns the
+        not-yet-materialized outputs)."""
+        nonlocal t_prep
+        t0 = _time.perf_counter()
+        ins = [tile_inputs(tiles[k]) for k in chunk]
+        # pad a ragged final chunk by REUSING the last tile's built inputs
+        ins = ins + [ins[-1]] * (batch_tiles - len(chunk))
+        imgs_b = np.stack([im for im, _ in ins])
+        cams_b = tuple(
+            warplib.stack_cams([c[s] for _, c in ins])
+            for s in range(num_stage)
+        )
+        dvals_b = jnp.tile(dvals, (len(ins), 1))
+        imgs_b = jnp.asarray(imgs_b)
+        if place is not None:
+            imgs_b, cams_b, dvals_b = jax.tree.map(
+                place, (imgs_b, cams_b, dvals_b)
             )
-            dvals_b = jnp.tile(dvals, (len(padded), 1))
-            if place is not None:
-                imgs_b, cams_b, dvals_b = jax.tree.map(
-                    place, (imgs_b, cams_b, dvals_b)
-                )
-            out = forward(imgs_b, cams_b, dvals_b)
-            for j, k in enumerate(chunk):
-                depth_outs[k] = np.asarray(out["depth"][j], np.float32)
-                conf_outs[k] = np.asarray(
-                    out["photometric_confidence"][j], np.float32
-                )
-            done += len(chunk)
-            if progress:
-                progress(done, len(tiles))
+        t_prep += _time.perf_counter() - t0
+        return forward(imgs_b, cams_b, dvals_b)  # async dispatch
+
+    def collect(chunk, out):
+        nonlocal done, t_read
+        t0 = _time.perf_counter()
+        for j, k in enumerate(chunk):
+            depth_outs[k] = np.asarray(out["depth"][j], np.float32)
+            conf_outs[k] = np.asarray(
+                out["photometric_confidence"][j], np.float32
+            )
+        t_read += _time.perf_counter() - t0
+        done += len(chunk)
+        if progress:
+            progress(done, len(tiles))
+
+    # double-buffered: prep+dispatch chunk i+1 while the device runs chunk i
+    pending = None
+    for chunk in chunks:
+        out = dispatch(chunk)
+        if pending is not None:
+            collect(*pending)
+        pending = (chunk, out)
+    if pending is not None:
+        collect(*pending)
+
+    if stats is not None:
+        stats.update(
+            wall_s=_time.perf_counter() - t_wall0,
+            host_prep_s=t_prep,
+            readback_s=t_read,
+            n_tiles=len(tiles),
+            n_chunks=len(chunks),
+        )
 
     depth = tiling.stitch(tiles, depth_outs, scene_h, scene_w)
     conf = tiling.stitch(tiles, conf_outs, scene_h, scene_w)

@@ -116,13 +116,21 @@ def main() -> None:
     mesh = make_mesh(data=n_dev) if n_dev > 1 else None
 
     t0 = time.time()
+    stats: dict = {}
     depth, conf = predict_scene(
         forward, images, rpcs, tile=a.tile, halo=a.halo,
         num_stage=cfg.num_stage, ref_index=a.ref_index,
         batch_tiles=batch_tiles, mesh=mesh,
         progress=lambda i, n: print(f"tile {i}/{n}", end="\r"),
+        stats=stats,
     )
     print(f"\nscene predicted in {time.time() - t0:.1f}s → {a.out}")
+    if stats:
+        share = stats["host_prep_s"] / max(stats["wall_s"], 1e-9)
+        print(f"[scene] {stats['n_tiles']} tiles / {stats['n_chunks']} chunks; "
+              f"wall {stats['wall_s']:.1f}s, host prep {stats['host_prep_s']:.1f}s "
+              f"({share:.0%} of wall; overlapped with device compute), "
+              f"readback {stats['readback_s']:.1f}s")
     formats.save_pfm(a.out, depth.astype(np.float32))
     formats.save_pfm(os.path.splitext(a.out)[0] + "_prob.pfm", conf.astype(np.float32))
 

@@ -43,6 +43,19 @@ def _mem_analysis_mb(fn, *args):
         return float("nan"), float("nan")
 
 
+def _live_peak_mb():
+    """Process-cumulative device peak (MB) — meaningful for the FIRST
+    measurement of a process only (it never resets), hence the streaming
+    path runs before the full-volume one below."""
+    import jax
+
+    try:
+        st = jax.local_devices()[0].memory_stats()
+        return st.get("peak_bytes_in_use", 0) / 1e6
+    except Exception:
+        return float("nan")
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--sizes", default="384x768,1024x2048")
@@ -51,6 +64,10 @@ def main() -> None:
     p.add_argument("--skip_full", action="store_true",
                    help="measure only the streaming path (e.g. when the "
                         "full volume OOMs)")
+    p.add_argument("--only", default="both", choices=["both", "stream", "full"],
+                   help="measure one path only — run each in its own process "
+                        "so the process-cumulative live device peak is an "
+                        "honest per-path number")
     a = p.parse_args()
 
     import jax
@@ -88,20 +105,25 @@ def main() -> None:
                               dvals, train=False)
             return out["depth"].ravel()[0]
 
-        mb_s, tmp_s = _mem_analysis_mb(strm, jnp.float32(0))
-        dt_s = bench._time_fn(strm, iters=5)
-        print(f"{size}: slab={a.slab:2d}     {dt_s * 1e3:8.1f} ms/image "
-              f"({1 / dt_s:5.2f} img/s)  mem {mb_s:7.0f} MB "
-              f"(temps {tmp_s:.0f})", flush=True)
+        dt_s = None
+        if a.only in ("both", "stream"):
+            mb_s, tmp_s = _mem_analysis_mb(strm, jnp.float32(0))
+            dt_s = bench._time_fn(strm, iters=5)
+            pk_s = _live_peak_mb()
+            print(f"{size}: slab={a.slab:2d}     {dt_s * 1e3:8.1f} ms/image "
+                  f"({1 / dt_s:5.2f} img/s)  mem {mb_s:7.0f} MB "
+                  f"(temps {tmp_s:.0f}; live peak {pk_s:.0f})", flush=True)
 
-        if a.skip_full:
+        if a.skip_full or a.only == "stream":
             continue
         mb_f, tmp_f = _mem_analysis_mb(full, jnp.float32(0))
         dt_full = bench._time_fn(full, iters=5)
+        pk_f = _live_peak_mb()
+        rel = (f"  [slab = {dt_s / dt_full:.2f}x time]"
+               if dt_s is not None else "")
         print(f"{size}: full-volume  {dt_full * 1e3:8.1f} ms/image "
               f"({1 / dt_full:5.2f} img/s)  mem {mb_f:7.0f} MB "
-              f"(temps {tmp_f:.0f})  "
-              f"[slab = {dt_s / dt_full:.2f}x time, {mb_s / mb_f:.2f}x mem]",
+              f"(temps {tmp_f:.0f}; live peak {pk_f:.0f}){rel}",
               flush=True)
 
 
