@@ -186,19 +186,20 @@ def render_view(
 
 
 def make_batch(batch_size: int = 1, width: int = 64, height: int = 64,
-               seed: int = 0, num_stage: int = 3, with_gt: bool = True) -> dict:
+               seed: int = 0, num_stage: int = 3, with_gt: bool = True,
+               use_qc: bool = False) -> dict:
     """In-memory batched training sample (no disk) in the loader's collated
-    layout — for tests, dry runs, and benchmarking."""
+    layout — for tests, dry runs, and benchmarking.  use_qc builds the
+    QC-form warp cams (ref --use_qc) instead of the basis form."""
     from ..ops import warp as warplib
 
+    build = warplib.build_qc_stage_cams if use_qc else warplib.build_stage_cams
     sample_cams, imgs_all, dvals_all, gt_all = [], [], [], []
     for b in range(batch_size):
         scene = make_scene(width, height, seed=seed + b, h_amp=80.0)
         order = [2, 0, 1]  # nadir view is the reference, ref-first
         rpcs = scene["rpcs"][order]
-        sample_cams.append(
-            warplib.build_stage_cams(rpcs, ref_index=0, num_stage=num_stage)
-        )
+        sample_cams.append(build(rpcs, 0, num_stage))
         imgs = scene["images"][order]
         imgs = (imgs - imgs.mean(axis=(1, 2), keepdims=True)) / (
             imgs.std(axis=(1, 2), keepdims=True) + 1e-8

@@ -44,6 +44,8 @@ from jax.experimental.pallas import tpu as pltpu
 BLOCK_ROWS = 8   # output rows per program
 PAD = 256        # column padding of the source (covers |col offset| ≲ PAD)
 VPAD = 32        # row padding (covers |row offset| ≤ VPAD)
+_MAX_D_PER_CALL = 128  # plane-axis chunk: 5 scalar-prefetch arrays x S·D·T
+                       # int32 overflow the ~1 MB smem at D≳200 full-res
 
 
 def _round_up(x: int, m: int) -> int:
@@ -382,6 +384,12 @@ def _sweep_gather_impl(src: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
     h, w, c = src.shape
     d = xs.shape[0]
     assert h % BLOCK_ROWS == 0, f"height {h} not a multiple of {BLOCK_ROWS}"
+    if d > _MAX_D_PER_CALL:  # scalar-prefetch smem cap (sweep_variance.py)
+        return jnp.concatenate([
+            _sweep_gather_impl(src, xs[i : i + _MAX_D_PER_CALL],
+                               ys[i : i + _MAX_D_PER_CALL], kv, ks, interpret)
+            for i in range(0, d, _MAX_D_PER_CALL)
+        ], axis=0)
 
     src_hcw = jnp.swapaxes(src, 1, 2)                       # (H, C, W)
     src_pad = jnp.pad(src_hcw, ((VPAD, VPAD), (0, 0), (PAD, PAD)))

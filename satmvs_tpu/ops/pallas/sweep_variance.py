@@ -27,8 +27,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .sweep_gather import (
-    BLOCK_ROWS, PAD, VPAD, _TileGeom, _gather_taps_dyn, _gather_taps_static,
-    _round_up, dispatch_taps, tile_bases, tile_spans,
+    BLOCK_ROWS, PAD, VPAD, _MAX_D_PER_CALL, _TileGeom, _gather_taps_dyn,
+    _gather_taps_static, _round_up, dispatch_taps, tile_bases, tile_spans,
 )
 
 
@@ -124,6 +124,13 @@ def _sweep_variance_impl(ref: jnp.ndarray, srcs: jnp.ndarray, xs: jnp.ndarray, y
     h, w, c = ref.shape
     n_src, d = xs.shape[0], xs.shape[1]
     assert h % BLOCK_ROWS == 0
+    if d > _MAX_D_PER_CALL:
+        return jnp.concatenate([
+            _sweep_variance_impl(ref, srcs, xs[:, i : i + _MAX_D_PER_CALL],
+                                 ys[:, i : i + _MAX_D_PER_CALL],
+                                 kv, ks, interpret)
+            for i in range(0, d, _MAX_D_PER_CALL)
+        ], axis=0)
 
     ref_hcw = jnp.swapaxes(ref, 1, 2)                         # (H, C, W)
     srcs_hcw = jnp.swapaxes(srcs, 2, 3)                       # (S, H, C, W)

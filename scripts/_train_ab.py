@@ -25,6 +25,10 @@ def main() -> None:
     p.add_argument("--size", default="384x768")
     p.add_argument("--fused_sweep", action="store_true")
     p.add_argument("--dtype", default="fp32", choices=["fp32", "bfloat16"])
+    p.add_argument("--use_qc", action="store_true",
+                   help="QC-form RPC warp cams (ref --use_qc) A/B")
+    p.add_argument("--forward", action="store_true",
+                   help="time the inference forward instead of the train step")
     p.add_argument("--iters", type=int, default=3)
     a = p.parse_args()
 
@@ -39,14 +43,33 @@ def main() -> None:
 
     h, w = (int(x) for x in a.size.split("x"))
     cfg = Config(model="red", geo_model="rpc", ndepths=(64, 32, 8),
+                 use_qc=a.use_qc,
                  compute_dtype=("bfloat16" if a.dtype == "bfloat16"
                                 else "float32"))
-    batch = numeric_batch(synthetic.make_batch(a.batch, w, h, seed=0))
+    batch = numeric_batch(
+        synthetic.make_batch(a.batch, w, h, seed=0, use_qc=a.use_qc))
     model, state, tx = create_model_and_state(cfg, batch, steps_per_epoch=100)
     if a.fused_sweep:
         model = model.clone(train_fused_sweep=True)
-    train_step = make_train_step(model, tx, tuple(cfg.dlossw))
 
+    tag = (f"b={a.batch} {a.size} fused_sweep={a.fused_sweep} "
+           f"use_qc={a.use_qc} {a.dtype}")
+    if a.forward:
+        import jax.numpy as jnp
+
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        imgs = jnp.asarray(batch["imgs"])
+
+        def fstep(c):
+            out = model.apply(variables, imgs + c * 1e-12, batch["cams"],
+                              jnp.asarray(batch["depth_values"]), train=False)
+            return out["depth"].ravel()[0]
+
+        dt = bench._time_fn(fstep, iters=5)
+        print(f"forward {tag}: {dt * 1e3:.1f} ms/image, {a.batch / dt:.2f} img/s")
+        return
+
+    train_step = make_train_step(model, tx, tuple(cfg.dlossw))
     imgs = batch["imgs"]
 
     def step(c):
@@ -56,8 +79,7 @@ def main() -> None:
         return scalars["loss"] + leaf.ravel()[0] * 1e-20
 
     dt = bench._time_fn(step, iters=a.iters)
-    print(f"train b={a.batch} {a.size} fused_sweep={a.fused_sweep} "
-          f"{a.dtype}: {dt * 1e3:.1f} ms/step, {a.batch / dt:.2f} img/s")
+    print(f"train {tag}: {dt * 1e3:.1f} ms/step, {a.batch / dt:.2f} img/s")
 
 
 if __name__ == "__main__":

@@ -87,8 +87,11 @@ def main() -> None:
         imgs = jnp.asarray(batch["imgs"])
         dvals = jnp.asarray(batch["depth_values"])
         model = CascadeREDNet(geo_model="rpc", ndepths=nd)
-        variables = model.init(jax.random.PRNGKey(0), imgs, batch["cams"],
-                               dvals, train=False)
+        # init with a tiny-D clone: the param tree is D-independent and a
+        # full-volume init at e.g. D=256 would do the giant forward just to
+        # build parameters
+        variables = model.clone(ndepths=(8,) * len(nd)).init(
+            jax.random.PRNGKey(0), imgs, batch["cams"], dvals, train=False)
 
         stream = functools.partial(
             streaming_red_forward, variables, geo_model="rpc", ndepths=nd,
