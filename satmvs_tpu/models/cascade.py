@@ -74,9 +74,13 @@ def stage_hypotheses(
 
 
 def build_stage_volume(geo_model: str, feats, cams, hyps, fused: bool = False,
-                       stencil: int = 8, convention: str = "exact"):
+                       stencil: int = 8, convention: str = "exact",
+                       layout: str = "nhwc"):
     """(B, V, h, w, C) features + cameras + (B, D, h, w) hypotheses →
-    (B, D, h, w, C) variance cost volume (batch via vmap).
+    variance cost volume (batch via vmap): (B, D, h, w, C), or (B, D, h, C, w)
+    with layout="hcw" — the Pallas kernels' native layout, which the
+    row-packed RED pipeline consumes directly (saves the volume-sized
+    relayout copies XLA otherwise inserts at every kernel boundary).
 
     fused=True (TPU): ONE Pallas kernel warps all source views and
     accumulates the variance moments — per-view warped volumes never touch
@@ -109,7 +113,7 @@ def build_stage_volume(geo_model: str, feats, cams, hyps, fused: bool = False,
 
                 xs, ys = torch_grid_coords(xs, ys, sh, sw)
             return sweep_variance(feats_b[0], feats_b[1:], xs, ys,
-                                  kv=stencil, ks=stencil)
+                                  kv=stencil, ks=stencil, layout=layout)
 
         # static python loop over batch (pallas under vmap is fragile)
         vols = [
@@ -121,22 +125,27 @@ def build_stage_volume(geo_model: str, feats, cams, hyps, fused: bool = False,
     if geo_model == "rpc":
 
         def one(feats_b, cams_b, hyps_b):  # RpcWarpCams or QcWarpCams
+            ref = feats_b[0]
+            if layout == "hcw":
+                ref = jnp.swapaxes(ref, 1, 2)  # (h, C, w) to match moments
             return sweep_variance_volume(
-                feats_b[0],
+                ref,
                 feats_b[1:],
                 lambda sf, s: rpc_warp(sf, cams_b, s, hyps_b, stencil=stencil,
-                                       convention=convention),
+                                       convention=convention, layout=layout),
             )
 
     else:
 
         def one(feats_b, projs_b, hyps_b):
-            return sweep_variance_volume(
+            vol = sweep_variance_volume(
                 feats_b[0],
                 feats_b[1:],
                 lambda sf, s: homo_warp(sf, projs_b[s + 1], projs_b[0], hyps_b,
                                         stencil=stencil, convention=convention),
             )
+            # pinhole warp has no native-hcw path; transpose for consumers
+            return jnp.swapaxes(vol, 2, 3) if layout == "hcw" else vol
 
     return jax.vmap(one)(feats, cams, hyps)
 
@@ -263,27 +272,33 @@ class CascadeModel(nn.Module):
 
             # ---- cost volume + regularization
             # fused one-kernel volume at inference; training keeps the
-            # per-view gather path unless train_fused_sweep (field above)
-            volume = build_stage_volume(
-                self.geo_model, stage_feats[i], cams[i], hyps,
-                fused=(not train) or self.train_fused_sweep,
-                stencil=self.sweep_stencil,
-                convention="torch" if self.torch_compat else "exact",
-            )
-            if self.volume_partition is not None:
-                vp = (self.volume_partition[i]
-                      if isinstance(self.volume_partition, (tuple, list))
-                      else self.volume_partition)
-                volume = jax.lax.with_sharding_constraint(volume, vp)
-            # TPU: fused single-kernel GRU recurrence (train too — the
-            # kernel has a custom VJP, ops/pallas/red_recur.py);
-            # SATMVS_FUSED_RED=0 falls back to the XLA scan
+            # per-view gather path unless train_fused_sweep (field above).
+            # TPU + fused RED: the volume is built AND consumed in the
+            # Pallas kernels' native (..., h, C, w) layout — the NHWC
+            # round-trips at the kernel boundaries were ~15-20 ms of the
+            # train step (relayout copies, NOTES round-3 cost map).
             import os
 
             fused_red = (
                 jax.default_backend() == "tpu"
                 and os.environ.get("SATMVS_FUSED_RED", "1") != "0"
             )
+            vol_layout = ("hcw" if self.regularizer == "red" and fused_red
+                          and not self.remat else "nhwc")
+            volume = build_stage_volume(
+                self.geo_model, stage_feats[i], cams[i], hyps,
+                fused=(not train) or self.train_fused_sweep,
+                stencil=self.sweep_stencil,
+                convention="torch" if self.torch_compat else "exact",
+                layout=vol_layout,
+            )
+            if self.volume_partition is not None:
+                # specs name axes (B, D, H, ...) — H is index 2 in BOTH
+                # layouts, so the same spec applies
+                vp = (self.volume_partition[i]
+                      if isinstance(self.volume_partition, (tuple, list))
+                      else self.volume_partition)
+                volume = jax.lax.with_sharding_constraint(volume, vp)
             if self.remat:
                 # rematerialize through the regularizer (train stays static)
                 if self.regularizer == "red":
@@ -291,7 +306,7 @@ class CascadeModel(nn.Module):
                 else:
                     logits = nn.remat(lambda mdl, v: mdl(v, train))(regs[i], volume)
             elif self.regularizer == "red":
-                logits = regs[i](volume, fused_red)
+                logits = regs[i](volume, fused_red, layout=vol_layout)
             else:
                 logits = regs[i](volume, train)
             prob = jax.nn.softmax(logits, axis=1)  # (B, D, h, w)

@@ -180,11 +180,13 @@ def packed_pipeline_feasible(h: int, w: int, cin: int,
 
 
 def packed_red_pipeline(cells: dict, vol: jnp.ndarray, h: int, w: int,
-                        h0s=None):
+                        h0s=None, layout: str = "nhwc"):
     """One batch element of the row-packed fused RED pipeline.
 
     cells: the REDStep param subtree (params["..."]["ScanREDStep_0"]).
-    vol:   (D, h, w, C) variance-cost slab (un-negated).
+    vol:   (D, h, w, C) variance-cost slab (un-negated), or (D, h, C, w)
+           with layout="hcw" (the sweep kernels' native form — cheaper to
+           pack).
     h0s:   optional per-scale packed initial GRU states (P, C, R·W), fine →
            coarse — the slab-streaming carry (inference only: the seeded
            recurrence has no VJP).
@@ -218,7 +220,8 @@ def packed_red_pipeline(cells: dict, vol: jnp.ndarray, h: int, w: int,
     w_head = f32(cells["Conv_0"]["kernel"])
     b_head = f32(cells["Conv_0"]["bias"])
 
-    xp = pcv.pack_planes(f32(-vol))
+    pack = pcv.pack_planes_hcw if layout == "hcw" else pcv.pack_planes
+    xp = pack(f32(-vol))
     # stride-2 convs consume column-split halves; transposed convs emit
     # them (Mosaic can't lane-shuffle — plane_conv.py module docstring)
     c1 = pcv.conv_dn(*pcv.split_cols(xp), w_enc[0], h, w)
@@ -271,8 +274,15 @@ class REDRegularizer(nn.Module):
     dtype: object = None  # compute dtype of the hoisted encoder/decoder convs
 
     @nn.compact
-    def __call__(self, volume: jnp.ndarray, fused: bool = False) -> jnp.ndarray:
-        batch, d, height, width, cin = volume.shape
+    def __call__(self, volume: jnp.ndarray, fused: bool = False,
+                 layout: str = "nhwc") -> jnp.ndarray:
+        # layout="hcw": volume arrives (B, D, H, C, W) — the sweep kernels'
+        # native layout (models/cascade.py builds it that way for the fused
+        # path to skip the NHWC relayouts)
+        if layout == "hcw":
+            batch, d, height, cin, width = volume.shape
+        else:
+            batch, d, height, width, cin = volume.shape
         step = REDStep(self.base_channels, dtype=self.dtype, name="ScanREDStep_0")
 
         # geometry/VMEM gate: wide or huge tiles (odd phase packs, kernels
@@ -282,7 +292,12 @@ class REDRegularizer(nn.Module):
         if fused and not packed_pipeline_feasible(
                 height, width, cin, self.base_channels, train=True):
             fused = False
-        if fused and not self.is_initializing():
+        use_packed = fused and not self.is_initializing()
+        if not use_packed and layout == "hcw":
+            # scan/init fallback consumes NHWC — one relayout, correctness first
+            volume = jnp.swapaxes(volume, 3, 4)
+            layout = "nhwc"
+        if use_packed:
             # TPU: the ENTIRE regularizer runs in the W-in-lanes row-packed
             # layout — encoder (plane_conv.conv_dn), each scale's ConvGRU
             # recurrence (red_recur_packed), decoder + head (deconv_up /
@@ -293,7 +308,8 @@ class REDRegularizer(nn.Module):
             # up to 16x bandwidth (~77 ms of a 215 ms train step).
             cells = self.variables["params"]["ScanREDStep_0"]
             return jnp.stack([
-                packed_red_pipeline(cells, volume[b], height, width)[0]
+                packed_red_pipeline(cells, volume[b], height, width,
+                                    layout=layout)[0]
                 for b in range(batch)
             ])
 

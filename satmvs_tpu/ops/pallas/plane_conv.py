@@ -132,6 +132,19 @@ def pack_planes(x: jnp.ndarray) -> jnp.ndarray:
     return _pack_nhwc(x, c, h // r, r, w)
 
 
+def pack_planes_hcw(x: jnp.ndarray) -> jnp.ndarray:
+    """(D, H, C, W) — the sweep kernels' native layout — -> row-packed
+    (D, P, C, R*W).  Only the small R (2-16 rows) and C (8-64) axes swap,
+    instead of the W<->C transpose `pack_planes` pays from NHWC."""
+    d, h, c, w = x.shape
+    r = _pack_rows(h, w)
+    return (
+        x.reshape(d, h // r, r, c, w)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(d, h // r, c, r * w)
+    )
+
+
 def unpack_planes(xp: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     """row-packed (D, P, C, R*W) -> (D, H, W, C) NHWC."""
     d, p, c, rw = xp.shape

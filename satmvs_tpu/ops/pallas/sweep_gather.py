@@ -374,9 +374,21 @@ def _sweep_gather_kernel(
 
 def _sweep_gather_impl(src: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
                        kv: int = 8, ks: int = 8, interpret: bool = False):
+    """NHWC wrapper over `_sweep_gather_impl_hcw`: (D, H, W, C)."""
+    return jnp.swapaxes(
+        _sweep_gather_impl_hcw(src, xs, ys, kv, ks, interpret), 2, 3
+    )
+
+
+def _sweep_gather_impl_hcw(src: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
+                           kv: int = 8, ks: int = 8, interpret: bool = False):
     """Bilinear-sample `src` (H, W, C) at plane-sweep coords (D, H, W).
 
-    Returns warped (D, H, W, C).  H must be a multiple of BLOCK_ROWS; integer
+    Returns warped (D, H, C, W) — the kernel's NATIVE layout (W in lanes, C
+    in sublanes); the cost-volume/regularizer pipeline consumes it directly
+    (layout="hcw"), skipping the volume-sized NHWC relayout copies that XLA
+    otherwise inserts on both sides of every kernel call (measured ~15-20 ms
+    of a 188 ms train step).  H must be a multiple of BLOCK_ROWS; integer
     sample offsets within each row-tile must span ≤ kv/ks pixels (true for
     smooth RPC/homography warps — validate with `count_misses(...) == 0`,
     falling back to ops.sampling.bilinear_sample otherwise).
@@ -386,8 +398,9 @@ def _sweep_gather_impl(src: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
     assert h % BLOCK_ROWS == 0, f"height {h} not a multiple of {BLOCK_ROWS}"
     if d > _MAX_D_PER_CALL:  # scalar-prefetch smem cap (sweep_variance.py)
         return jnp.concatenate([
-            _sweep_gather_impl(src, xs[i : i + _MAX_D_PER_CALL],
-                               ys[i : i + _MAX_D_PER_CALL], kv, ks, interpret)
+            _sweep_gather_impl_hcw(src, xs[i : i + _MAX_D_PER_CALL],
+                                   ys[i : i + _MAX_D_PER_CALL],
+                                   kv, ks, interpret)
             for i in range(0, d, _MAX_D_PER_CALL)
         ], axis=0)
 
@@ -430,7 +443,7 @@ def _sweep_gather_impl(src: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
         ),
         interpret=interpret,
     )(row_start, col_start128, rc, vspan, hspan, xs, ys, src_pad)
-    return jnp.swapaxes(out, 2, 3)                          # (D, H, W, C)
+    return out                                              # (D, H, C, W)
 
 
 def _sweep_scatter_kernel(
@@ -508,12 +521,21 @@ def _sweep_scatter_kernel(
 def _sweep_scatter_impl(g: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
                         height: int, width: int,
                         kv: int = 8, ks: int = 8, interpret: bool = False):
-    """Pallas transpose of `_sweep_gather_impl`: cotangents g (D, H, W, C) →
-    source cotangent (H, W, C).  Same smooth-warp contract as the forward."""
-    d, _, _, c = g.shape
-    assert height % BLOCK_ROWS == 0
+    """NHWC wrapper over `_sweep_scatter_impl_hcw` (g (D, H, W, C))."""
+    return _sweep_scatter_impl_hcw(
+        jnp.swapaxes(g, 2, 3), xs, ys, height, width, kv, ks, interpret
+    )
 
-    g_hcw = jnp.swapaxes(g, 2, 3)                      # (D, H, C, W)
+
+def _sweep_scatter_impl_hcw(g_hcw: jnp.ndarray, xs: jnp.ndarray,
+                            ys: jnp.ndarray, height: int, width: int,
+                            kv: int = 8, ks: int = 8,
+                            interpret: bool = False):
+    """Pallas transpose of the gather: cotangents g (D, H, C, W — the
+    kernel's native layout) → source cotangent (H, W, C).  Same smooth-warp
+    contract as the forward."""
+    d, _, c, _ = g_hcw.shape
+    assert height % BLOCK_ROWS == 0
     n_tiles = height // BLOCK_ROWS
     h_tot = height + 2 * VPAD
     w_tot = width + 2 * PAD
@@ -583,31 +605,42 @@ def _bilinear_scatter(g: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
     return out.reshape(height, width, c)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def sweep_gather(src: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
-                 kv: int = 8, ks: int = 8, interpret: bool = False):
+                 kv: int = 8, ks: int = 8, interpret: bool = False,
+                 layout: str = "nhwc"):
     """Differentiable fused plane-sweep bilinear sample (see module docs).
 
     Forward runs the Pallas stencil kernel; backward scatters cotangents into
-    the source with an XLA scatter-add (coordinates carry no gradient — the
-    plane-sweep geometry is non-differentiable by design, matching the
-    reference's torch.no_grad() warp)."""
+    the source with the exact-transpose Pallas kernel (coordinates carry no
+    gradient — the plane-sweep geometry is non-differentiable by design,
+    matching the reference's torch.no_grad() warp).
+
+    layout="hcw" returns (D, H, C, W) — the kernel's native layout — and
+    takes the cotangent in the same layout, skipping the volume-sized
+    relayout copies at both kernel boundaries; src and its cotangent stay
+    (H, W, C) either way."""
+    if layout == "hcw":
+        return _sweep_gather_impl_hcw(src, xs, ys, kv, ks, interpret)
     return _sweep_gather_impl(src, xs, ys, kv, ks, interpret)
 
 
-def _sweep_gather_fwd(src, xs, ys, kv, ks, interpret):
-    out = _sweep_gather_impl(src, xs, ys, kv, ks, interpret)
+def _sweep_gather_fwd(src, xs, ys, kv, ks, interpret, layout):
+    out = sweep_gather(src, xs, ys, kv, ks, interpret, layout)
     return out, (src.shape, xs, ys)
 
 
-def _sweep_gather_bwd(kv, ks, interpret, residuals, g):
+def _sweep_gather_bwd(kv, ks, interpret, layout, residuals, g):
     (h, w, c), xs, ys = residuals
     acc_bytes = (h + 2 * VPAD) * c * (w + 2 * PAD) * 4
     if h % BLOCK_ROWS == 0 and acc_bytes <= _SCATTER_VMEM_CAP:
         # fused Pallas transpose (same taps as the forward — exact adjoint
         # of what the forward computed, misses included)
-        dsrc = _sweep_scatter_impl(g, xs, ys, h, w, kv, ks, interpret)
+        g_hcw = g if layout == "hcw" else jnp.swapaxes(g, 2, 3)
+        dsrc = _sweep_scatter_impl_hcw(g_hcw, xs, ys, h, w, kv, ks, interpret)
     else:
+        if layout == "hcw":
+            g = jnp.swapaxes(g, 2, 3)
         dsrc = _bilinear_scatter(g, xs, ys, h, w)
     return dsrc, None, None
 

@@ -121,14 +121,24 @@ def _sweep_variance_impl(ref: jnp.ndarray, srcs: jnp.ndarray, xs: jnp.ndarray, y
     Returns (D, H, W, C) variance volume (same math as
     ops.cost_volume.variance_cost_volume over bilinear-warped views).
     """
+    return jnp.swapaxes(
+        _sweep_variance_impl_hcw(ref, srcs, xs, ys, kv, ks, interpret), 2, 3
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("kv", "ks", "interpret"))
+def _sweep_variance_impl_hcw(ref, srcs, xs, ys, kv=8, ks=8, interpret=False):
+    """Native-layout core: returns (D, H, C, W) — see `_sweep_variance_impl`
+    for semantics; layout="hcw" consumers skip the NHWC relayout."""
     h, w, c = ref.shape
     n_src, d = xs.shape[0], xs.shape[1]
     assert h % BLOCK_ROWS == 0
     if d > _MAX_D_PER_CALL:
         return jnp.concatenate([
-            _sweep_variance_impl(ref, srcs, xs[:, i : i + _MAX_D_PER_CALL],
-                                 ys[:, i : i + _MAX_D_PER_CALL],
-                                 kv, ks, interpret)
+            _sweep_variance_impl_hcw(ref, srcs,
+                                     xs[:, i : i + _MAX_D_PER_CALL],
+                                     ys[:, i : i + _MAX_D_PER_CALL],
+                                     kv, ks, interpret)
             for i in range(0, d, _MAX_D_PER_CALL)
         ], axis=0)
 
@@ -182,13 +192,13 @@ def _sweep_variance_impl(ref: jnp.ndarray, srcs: jnp.ndarray, xs: jnp.ndarray, y
         ),
         interpret=interpret,
     )(row_start, col_start128, rc, vspan, hspan, xs, ys, ref_hcw, srcs_pad)
-    return jnp.swapaxes(out, 2, 3)                            # (D, H, W, C)
+    return out                                                # (D, H, C, W)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def sweep_variance(ref: jnp.ndarray, srcs: jnp.ndarray, xs: jnp.ndarray,
                    ys: jnp.ndarray, kv: int = 8, ks: int = 8,
-                   interpret: bool = False):
+                   interpret: bool = False, layout: str = "nhwc"):
     """Differentiable fused variance cost volume (see `_sweep_variance_impl`).
 
     Backward: with f_v the per-view (warped) features and m the across-view
@@ -198,36 +208,47 @@ def sweep_variance(ref: jnp.ndarray, srcs: jnp.ndarray, xs: jnp.ndarray,
     source-view ones back through the exact-adjoint scatter kernel; the ref
     view is unwarped, so its cotangent is just a sum over planes.
     Coordinates carry no gradient (plane-sweep geometry is non-differentiable
-    by design, ref modules/warping.py torch.no_grad())."""
+    by design, ref modules/warping.py torch.no_grad()).
+
+    layout="hcw" returns (D, H, C, W) — the kernel's native layout — and
+    takes its cotangent in the same layout (no volume-sized relayouts);
+    ref/srcs and their cotangents stay (H, W, C) either way."""
+    if layout == "hcw":
+        return _sweep_variance_impl_hcw(ref, srcs, xs, ys, kv, ks, interpret)
     return _sweep_variance_impl(ref, srcs, xs, ys, kv, ks, interpret)
 
 
-def _sweep_variance_fwd(ref, srcs, xs, ys, kv, ks, interpret):
-    out = _sweep_variance_impl(ref, srcs, xs, ys, kv, ks, interpret)
+def _sweep_variance_fwd(ref, srcs, xs, ys, kv, ks, interpret, layout):
+    out = sweep_variance(ref, srcs, xs, ys, kv, ks, interpret, layout)
     return out, (ref, srcs, xs, ys)
 
 
-def _sweep_variance_bwd(kv, ks, interpret, res, g):
-    from .sweep_gather import _sweep_gather_impl, _sweep_scatter_impl
+def _sweep_variance_bwd(kv, ks, interpret, layout, res, g):
+    from .sweep_gather import _sweep_gather_impl_hcw, _sweep_scatter_impl_hcw
 
     ref, srcs, xs, ys = res
     h, w, _ = ref.shape
     n_src = srcs.shape[0]
     v = n_src + 1
+    if layout != "hcw":
+        g = jnp.swapaxes(g, 2, 3)                       # → (D, H, C, W)
 
+    # everything below runs in the kernels' native (D, H, C, W) layout
     warped = [
-        _sweep_gather_impl(srcs[s], xs[s], ys[s], kv, ks, interpret)
+        _sweep_gather_impl_hcw(srcs[s], xs[s], ys[s], kv, ks, interpret)
         for s in range(n_src)
     ]
-    mean = ref[None]
+    ref_hcw = jnp.swapaxes(ref, 1, 2)[None]             # (1, H, C, W)
+    mean = ref_hcw
     for wv_ in warped:
         mean = mean + wv_
     mean = mean / v
 
     scale = 2.0 / v
-    dref = jnp.sum(g * (scale * (ref[None] - mean)), axis=0)
+    # (H, C, W) → (H, W, C)
+    dref = jnp.swapaxes(jnp.sum(g * (scale * (ref_hcw - mean)), axis=0), 1, 2)
     dsrcs = jnp.stack([
-        _sweep_scatter_impl(
+        _sweep_scatter_impl_hcw(
             g * (scale * (warped[s] - mean)), xs[s], ys[s], h, w, kv, ks,
             interpret,
         )

@@ -159,7 +159,7 @@ def _use_pallas_gather(height: int) -> bool:
 
 def rpc_warp(src_feat: jnp.ndarray, cams: RpcWarpCams, src_index, depth_values: jnp.ndarray,
              method: str = "auto", coords: str = "auto", stencil: int = 8,
-             convention: str = "exact"):
+             convention: str = "exact", layout: str = "nhwc"):
     """RPC plane-sweep warp of one source feature map.
 
     src_feat: (H, W, C) — the source view's features at this stage's scale.
@@ -175,7 +175,10 @@ def rpc_warp(src_feat: jnp.ndarray, cams: RpcWarpCams, src_index, depth_values: 
             reproduces the reference's grid_sample(align_corners=False)
             stretch (see ops/sampling.torch_grid_coords) for checkpoint-exact
             behavior.
-    Returns (D, H, W, C).  TPU analog of /root/reference/modules/warping.py:310-365.
+    layout: "nhwc" returns (D, H, W, C); "hcw" returns (D, H, C, W) — the
+            Pallas kernels' native layout, sparing the volume-sized relayout
+            copies when the consumer (the row-packed RED pipeline) accepts it.
+    Returns the warped volume.  TPU analog of /root/reference/modules/warping.py:310-365.
     """
     h, w, _ = src_feat.shape
     if isinstance(cams, QcWarpCams):
@@ -201,8 +204,10 @@ def rpc_warp(src_feat: jnp.ndarray, cams: RpcWarpCams, src_index, depth_values: 
     if method == "pallas" or (method == "auto" and _use_pallas_gather(h)):
         from .pallas.sweep_gather import sweep_gather
 
-        return sweep_gather(src_feat, x_src, y_src, kv=stencil, ks=stencil)
-    return bilinear_sample(src_feat, x_src, y_src)
+        return sweep_gather(src_feat, x_src, y_src, kv=stencil, ks=stencil,
+                            layout=layout)
+    out = bilinear_sample(src_feat, x_src, y_src)
+    return jnp.swapaxes(out, 2, 3) if layout == "hcw" else out
 
 
 # ---------------------------------------------------------------------------

@@ -105,6 +105,43 @@ def test_sweep_scatter_is_exact_transpose():
     np.testing.assert_allclose(lhs, rhs, rtol=1e-5)
 
 
+def test_hcw_layout_matches_nhwc():
+    """layout='hcw' (the kernels' native (D,H,C,W) output, round-3 relayout
+    saver) must equal the NHWC path transposed — values AND grads, for both
+    the gather and the fused variance."""
+    from satmvs_tpu.ops.pallas.sweep_variance import sweep_variance
+
+    H, W, C, D, S = 16, 32, 4, 3, 2
+    rng = np.random.default_rng(5)
+    src = jnp.asarray(rng.normal(size=(H, W, C)).astype(np.float32))
+    srcs = jnp.asarray(rng.normal(size=(S, H, W, C)).astype(np.float32))
+    ref = jnp.asarray(rng.normal(size=(H, W, C)).astype(np.float32))
+    xs1, ys1 = _smooth_coords(H, W, D)
+    xs = jnp.stack([xs1, xs1 + 0.7])
+    ys = jnp.stack([ys1, ys1 - 0.4])
+
+    out_h = sg.sweep_gather(src, xs1, ys1, 8, 8, True, "hcw")
+    out_n = sg.sweep_gather(src, xs1, ys1, 8, 8, True)
+    np.testing.assert_array_equal(np.asarray(out_h),
+                                  np.asarray(jnp.swapaxes(out_n, 2, 3)))
+    g_h = jax.grad(lambda s: jnp.sum(
+        jnp.sin(sg.sweep_gather(s, xs1, ys1, 8, 8, True, "hcw"))))(src)
+    g_n = jax.grad(lambda s: jnp.sum(
+        jnp.sin(sg.sweep_gather(s, xs1, ys1, 8, 8, True))))(src)
+    np.testing.assert_allclose(np.asarray(g_h), np.asarray(g_n), atol=1e-6)
+
+    v_h = sweep_variance(ref, srcs, xs, ys, 8, 8, True, "hcw")
+    v_n = sweep_variance(ref, srcs, xs, ys, 8, 8, True)
+    np.testing.assert_allclose(np.asarray(v_h),
+                               np.asarray(jnp.swapaxes(v_n, 2, 3)), atol=1e-6)
+    gr_h, gs_h = jax.grad(lambda r, s: jnp.sum(jnp.sin(
+        sweep_variance(r, s, xs, ys, 8, 8, True, "hcw"))), (0, 1))(ref, srcs)
+    gr_n, gs_n = jax.grad(lambda r, s: jnp.sum(jnp.sin(
+        sweep_variance(r, s, xs, ys, 8, 8, True))), (0, 1))(ref, srcs)
+    np.testing.assert_allclose(np.asarray(gr_h), np.asarray(gr_n), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gs_h), np.asarray(gs_n), atol=2e-5)
+
+
 def test_sweep_variance_gradient_matches_xla():
     """Gradients of the fused variance volume w.r.t. ref and source features
     must match autodiff through the XLA path (bilinear_sample + moments)."""

@@ -172,6 +172,35 @@ def test_red_regularizer_fused_falls_back_on_wide_tiles():
     np.testing.assert_allclose(fused, ref, atol=0, rtol=0)
 
 
+def test_red_regularizer_hcw_layout_matches_nhwc():
+    """layout='hcw' ((B,D,H,C,W) volumes straight from the sweep kernels)
+    must produce identical logits and grads to the NHWC path."""
+    from satmvs_tpu.nn.red import REDRegularizer
+
+    b, d, h, w, c = 1, 3, 16, 24, 8
+    vol = _rand((b, d, h, w, c), 12)
+    vol_hcw = jnp.swapaxes(vol, 3, 4)
+    reg = REDRegularizer(c)
+    variables = reg.init(jax.random.PRNGKey(0), vol)
+
+    out_n = reg.apply(variables, vol, True)
+    out_h = reg.apply(variables, vol_hcw, True, layout="hcw")
+    np.testing.assert_allclose(out_h, out_n, atol=1e-6, rtol=1e-6)
+
+    gn_ = jax.grad(lambda v, x: jnp.sum(jnp.sin(reg.apply(v, x, True))))(
+        variables, vol)
+    gh_ = jax.grad(lambda v, x: jnp.sum(jnp.sin(
+        reg.apply(v, x, True, layout="hcw"))))(variables, vol_hcw)
+    for a, bb in zip(jax.tree_util.tree_leaves(gn_), jax.tree_util.tree_leaves(gh_)):
+        np.testing.assert_allclose(np.asarray(bb), np.asarray(a),
+                                   atol=1e-5, rtol=1e-5)
+
+    # scan fallback accepts hcw too (transposes once)
+    out_s = reg.apply(variables, vol_hcw, False, layout="hcw")
+    ref_s = reg.apply(variables, vol, False)
+    np.testing.assert_allclose(out_s, ref_s, atol=0, rtol=0)
+
+
 def test_red_regularizer_fused_pipeline_matches_scan():
     """The full row-packed pipeline (pack -> conv_dn x3 -> red_recur_packed x4
     -> deconv_up x3 -> conv_head) == the XLA scan path, values AND grads."""
