@@ -118,28 +118,35 @@ def make_rpc_triplet(width: int = 256, height: int = 256, seed: int = 0, **kw) -
     ]
 
 
-def _terrain(lat_n: np.ndarray, lon_n: np.ndarray, h0: float, h_amp: float, seed: int):
+def _terrain(lat_n: np.ndarray, lon_n: np.ndarray, h0: float, h_amp: float,
+             seed: int, freq_scale: float = 1.0):
     """Smooth random terrain h(lat_n, lon_n) as a small Fourier series.
 
     Frequencies/amplitudes are kept low enough that terrain slope times the
     ±22° parallax stays < 1 — the contraction condition of the fixed-point
-    renderer (and of real-world multi-view height consistency)."""
+    renderer (and of real-world multi-view height consistency).
+
+    freq_scale: frequencies are per NORMALIZED scene unit, so without
+    scaling a 2560-px scene would be 16x smoother per pixel than a 160-px
+    one; render_view passes size/256 so per-pixel terrain statistics (and
+    slopes — the contraction bound) are scene-size-invariant."""
     rng = np.random.default_rng(seed + 1000)
     h = np.full_like(lat_n, float(h0))
     for k in range(6):
-        fx, fy = rng.uniform(0.3, 1.5, 2)
+        fx, fy = rng.uniform(0.3, 1.5, 2) * freq_scale
         px, py = rng.uniform(0, 2 * np.pi, 2)
-        amp = h_amp / (1.6 ** k) / (1.0 + 0.6 * (fx + fy))
+        amp = h_amp / (1.6 ** k) / (1.0 + 0.6 * (fx + fy) / freq_scale)
         h = h + amp * np.sin(fx * np.pi * lon_n + px) * np.sin(fy * np.pi * lat_n + py)
     return h
 
 
-def _texture(lat_n: np.ndarray, lon_n: np.ndarray, seed: int):
+def _texture(lat_n: np.ndarray, lon_n: np.ndarray, seed: int,
+             freq_scale: float = 1.0):
     """Ground albedo in [0, 255] with multi-scale detail (matchable texture)."""
     rng = np.random.default_rng(seed + 2000)
     t = np.zeros_like(lat_n)
     for k in range(8):
-        fx, fy = rng.uniform(2.0, 40.0, 2)
+        fx, fy = rng.uniform(2.0, 40.0, 2) * freq_scale
         px, py = rng.uniform(0, 2 * np.pi, 2)
         t = t + np.sin(fx * np.pi * lon_n + px) * np.cos(fy * np.pi * lat_n + py) / (1.2 ** k)
     t = (t - t.min()) / (t.max() - t.min() + 1e-9)
@@ -166,11 +173,14 @@ def render_view(
     x, y = np.meshgrid(np.arange(width, dtype=np.float64), np.arange(height, dtype=np.float64))
     x, y = x.reshape(-1), y.reshape(-1)
     h0 = rpc[rpclib.HEI_OFF]
+    # per-pixel terrain/texture statistics invariant to scene size (≤256 px
+    # unchanged — the regime all accuracy baselines were measured in)
+    fscale = max(1.0, max(width, height) / 256.0)
 
     def terrain_at(lat, lon):
         lat_n = (lat - rpc[rpclib.LAT_OFF]) / rpc[rpclib.LAT_SCALE]
         lon_n = (lon - rpc[rpclib.LON_OFF]) / rpc[rpclib.LON_SCALE]
-        return _terrain(lat_n, lon_n, h0, h_amp, terrain_seed)
+        return _terrain(lat_n, lon_n, h0, h_amp, terrain_seed, fscale)
 
     h = np.full_like(x, float(h0))
     for _ in range(iters):
@@ -181,7 +191,7 @@ def render_view(
     lat, lon = rpclib.photo_to_obj(rpc, x, y, h)
     lat_n = (lat - rpc[rpclib.LAT_OFF]) / rpc[rpclib.LAT_SCALE]
     lon_n = (lon - rpc[rpclib.LON_OFF]) / rpc[rpclib.LON_SCALE]
-    img = _texture(lat_n, lon_n, terrain_seed).reshape(height, width)
+    img = _texture(lat_n, lon_n, terrain_seed, fscale).reshape(height, width)
     return img.astype(np.float32), h.reshape(height, width).astype(np.float32)
 
 

@@ -78,20 +78,26 @@ def main() -> None:
     os.makedirs(work, exist_ok=True)
     print(f"[scene_bench] workdir {work}")
 
-    # ---- scene on disk
+    # ---- scene on disk (reused across runs of the same workdir — host-side
+    # rendering of a 2560² triplet takes ~20 min on this 2-core box)
     t0 = time.time()
-    scene = synthetic.make_scene(a.size, a.size, seed=3, h_amp=100.0)
-    img_paths, rpc_paths = [], []
-    for vi in range(3):
-        ip = os.path.join(work, f"v{vi}.png")
-        rp = os.path.join(work, f"v{vi}.rpc")
-        arr = scene["images"][vi]
-        arr8 = np.clip((arr - arr.min()) / max(np.ptp(arr), 1e-6) * 255, 0, 255)
-        Image.fromarray(arr8.astype(np.uint8)).save(ip)
-        formats.save_rpc(rp, scene["rpcs"][vi])
-        img_paths.append(ip)
-        rpc_paths.append(rp)
-    print(f"[scene_bench] scene {a.size}x{a.size} written in {time.time()-t0:.1f}s")
+    img_paths = [os.path.join(work, f"v{vi}.png") for vi in range(3)]
+    rpc_paths = [os.path.join(work, f"v{vi}.rpc") for vi in range(3)]
+    gt_path = os.path.join(work, "gt_ref.npy")
+    if all(os.path.exists(p) for p in img_paths + rpc_paths + [gt_path]):
+        gt = np.load(gt_path)
+        print(f"[scene_bench] reusing scene in {work}")
+    else:
+        scene = synthetic.make_scene(a.size, a.size, seed=3, h_amp=100.0)
+        for vi in range(3):
+            arr = scene["images"][vi]
+            arr8 = np.clip((arr - arr.min()) / max(np.ptp(arr), 1e-6) * 255,
+                           0, 255)
+            Image.fromarray(arr8.astype(np.uint8)).save(img_paths[vi])
+            formats.save_rpc(rpc_paths[vi], scene["rpcs"][vi])
+        gt = scene["gt_heights"][2]
+        np.save(gt_path, gt)
+        print(f"[scene_bench] scene {a.size}x{a.size} written in {time.time()-t0:.1f}s")
 
     env = dict(os.environ)
 
@@ -133,7 +139,6 @@ def main() -> None:
 
     # ---- score
     depth = formats.load_pfm(out_pfm)
-    gt = scene["gt_heights"][2]
     err = np.abs(depth - gt)
     mae = float(np.mean(err))
     lt25 = float(np.mean(err < 2.5))
