@@ -66,6 +66,7 @@ def main() -> None:
     p.add_argument("--ckpt", default="", help="trained checkpoint (default: "
                    "train a quick synthetic model first)")
     p.add_argument("--train_epochs", type=int, default=8)
+    p.add_argument("--train_scenes", type=int, default=6)
     p.add_argument("--workdir", default="")
     a = p.parse_args()
 
@@ -105,8 +106,8 @@ def main() -> None:
     ckpt = a.ckpt
     if not ckpt:
         ds_root = os.path.join(work, "train_ds")
-        synthetic.write_synthetic_dataset(ds_root, num_scenes=6, width=160,
-                                          height=160, h_amp=100.0)
+        synthetic.write_synthetic_dataset(ds_root, num_scenes=a.train_scenes,
+                                          width=160, height=160, h_amp=100.0)
         logdir = os.path.join(work, "logs")
         r = subprocess.run(
             [sys.executable, "scripts/train.py", "--mode=train", "--model=red",
