@@ -249,6 +249,65 @@ def packed_red_pipeline(cells: dict, vol: jnp.ndarray, h: int, w: int,
     return lg.reshape(d, h, w), tuple(r[-1] for r in rs)
 
 
+def packed_red_pipeline_batched(cells: dict, vol: jnp.ndarray, h: int, w: int,
+                                h0s=None, layout: str = "nhwc"):
+    """Batched row-packed fused RED pipeline (inference only).
+
+    vol: (B, D, h, w, C) variance-cost slab (or (B, D, h, C, w) with
+    layout="hcw"); h0s: optional per-scale packed states (B, P, C, R·W),
+    fine → coarse.  Returns (logits (B, D, h, w), states (B, P, C, R·W)/scale).
+
+    Same kernels as `packed_red_pipeline`, but the batch is FOLDED INTO the
+    plane grid: the encoder/decoder/head kernels are plane-independent, so
+    they just see B·D planes; the 4 ConvGRU recurrences run as one
+    grid=(B, D) kernel each that reseeds its VMEM state per batch element
+    (red_recur_from_packed_batched).  One kernel set regardless of B —
+    replaces the python per-element loop whose unrolled HLO and per-call
+    boundary glue grew linearly with the tile batch (predict_scene
+    batch_tiles; VERDICT r2 weak #4).  No VJP: training keeps the per-element
+    pipeline."""
+    from ..ops.pallas import plane_conv as pcv
+    from ..ops.pallas.red_recur import (
+        cell_params_matrices, red_recur_from_packed_batched,
+    )
+
+    b, d = vol.shape[0], vol.shape[1]
+    mats = [cell_params_matrices(cells[f"ConvGRUCell_{k}"])
+            for k in (3, 2, 1, 0)]
+    f32 = lambda t: t.astype(jnp.float32)  # deliberate fp32 promotion — see
+    # packed_red_pipeline
+    w_enc = [f32(cells[f"ConvBlock_{i}"]["Conv_0"]["kernel"]) for i in range(3)]
+    w_dec = [f32(cells[f"DeconvBlock_{i}"]["ConvTranspose_0"]["kernel"])
+             for i in range(3)]
+    w_head = f32(cells["Conv_0"]["kernel"])
+    b_head = f32(cells["Conv_0"]["bias"])
+
+    pack = pcv.pack_planes_hcw if layout == "hcw" else pcv.pack_planes
+    flat = vol.reshape((b * d,) + vol.shape[2:])
+    xp = pack(f32(-flat))                                # (B·D, P, C, R·W)
+    c1 = pcv.conv_dn(*pcv.split_cols(xp), w_enc[0], h, w)
+    c2 = pcv.conv_dn(*pcv.split_cols(c1), w_enc[1], h // 2, w // 2)
+    c3 = pcv.conv_dn(*pcv.split_cols(c2), w_enc[2], h // 4, w // 4)
+    rs, states = [], []
+    for i, (x_s, s) in enumerate(((xp, 1), (c1, 2), (c2, 4), (c3, 8))):
+        x5 = x_s.reshape((b, d) + x_s.shape[1:])
+        h0 = None if h0s is None else h0s[i]
+        r5 = red_recur_from_packed_batched(h0, x5, *mats[i], h // s, w // s)
+        states.append(r5[:, -1])                         # (B, P, C, R·W)
+        rs.append(r5.reshape((b * d,) + r5.shape[2:]))
+    r1, r2, r3, r4 = rs
+
+    def up_add(ue, uo, r_skip):
+        re_, ro_ = pcv.split_cols(r_skip)
+        return pcv.merge_cols(ue + re_, uo + ro_)
+
+    t2 = up_add(*pcv.deconv_up(r4, w_dec[0], h // 8, w // 8), r3)
+    t1 = up_add(*pcv.deconv_up(t2, w_dec[1], h // 4, w // 4), r2)
+    hin = up_add(*pcv.deconv_up(t1, w_dec[2], h // 2, w // 2), r1)
+    lg = pcv.conv_head(hin, w_head, b_head, h, w)
+    return lg.reshape(b, d, h, w), tuple(states)
+
+
 def init_red_states_packed(h: int, w: int, base_channels: int = 8):
     """Zero packed GRU states (P, C, R·W) at the 4 scales, fine → coarse."""
     from ..ops.pallas.red_recur import _pack_rows

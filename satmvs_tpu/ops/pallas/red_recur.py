@@ -79,7 +79,7 @@ def _pack_rows(height: int, width: int) -> int:
 def _red_recur_kernel(
     x_ref, wx_ref, wg_ref, bg_ref, wc_ref, bc_ref, gn_ref, h0_ref, out_ref,
     hf_ref, mf_ref, xf_ref, g_ref, xc_ref, rhs_ref, msk_ref,
-    *, c: int, cin: int, height: int, width: int, r: int,
+    *, c: int, cin: int, height: int, width: int, r: int, d_axis: int = 0,
 ):
     """Flat-pad forward: conv operands live in (C, (H+2)·W) flat buffers
     (rows contiguous in lanes, one zero row top/bottom).  Staging is one
@@ -91,8 +91,13 @@ def _red_recur_kernel(
     1.03–1.19x over per-row pad staging, bit-exact (scripts/_flat_fwd_proto
     trail).  Unaligned widths (W % 128 != 0, the coarse pyramid scales) use
     statically-unrolled pack loops — Mosaic only allows dynamic lane offsets
-    at multiples of 128."""
-    d = pl.program_id(0)
+    at multiples of 128.
+
+    d_axis: grid axis carrying the depth-plane index.  The batched form
+    (grid=(B, D), `_red_recur_impl_batched`) puts the batch element on axis 0
+    and resets the resident state at every d == 0 — i.e. once per batch
+    element, whose h0 block the index maps select."""
+    d = pl.program_id(d_axis)
     p_cnt = height // r
     rw = r * width
     inv_n = 1.0 / (height * width * c)
@@ -313,6 +318,90 @@ def _red_recur_impl(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        interpret=_interp(interpret),
+    )(
+        x_packed,
+        wx_mat,
+        wg_mat,
+        bh.reshape(2 * c, 1),
+        wc_mat,
+        bc.reshape(c, 1),
+        gn,
+        h0_packed,
+    )
+    return out
+
+
+def _red_recur_impl_batched(
+    x_packed: jnp.ndarray,
+    wx, wh, bh, wc, bc, gn,
+    height: int,
+    width: int,
+    interpret: bool = False,
+    h0_packed: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Batched core: (B, D, P, Cin, R·W) → (B, D, P, C, R·W) in ONE kernel.
+
+    grid=(B, D): the depth recurrence runs on grid axis 1 and the resident
+    VMEM state resets at every d == 0, re-seeded from batch element b's h0
+    block — B independent recurrences without B separate pallas_calls (the
+    per-call boundary glue and unrolled-HLO growth of the python batch loop,
+    VERDICT r2 weak #4).  Inference-only: no custom VJP (training keeps the
+    per-element `red_recur_packed`, whose adjoint kernels are unbatched)."""
+    bb, d, p_cnt, cin, _ = x_packed.shape
+    c = wx.shape[-1] // 3
+    r = height // p_cnt
+
+    if h0_packed is None:
+        h0_packed = jnp.zeros((bb, p_cnt, c, r * width), jnp.float32)
+    wx_mat = wx.reshape(9 * cin, 3 * c).T
+    wg_mat = wh.reshape(9 * c, 2 * c).T
+    wc_mat = wc.reshape(9 * c, c).T
+
+    kernel = functools.partial(
+        _red_recur_kernel, c=c, cin=cin, height=height, width=width, r=r,
+        d_axis=1,
+    )
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(bb, d),
+        in_specs=[
+            # batch dim squeezed (None) so the kernel sees the SAME ref ranks
+            # as the unbatched impl: x (1, P, Cin, R·W), h0 (P, C, R·W)
+            pl.BlockSpec(
+                (None, 1, p_cnt, cin, r * width),
+                lambda bi, di: (bi, di, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            full(), full(), full(), full(), full(), full(),
+            pl.BlockSpec(
+                (None, p_cnt, c, r * width),
+                lambda bi, di: (bi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, 1, p_cnt, c, r * width),
+            lambda bi, di: (bi, di, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (bb, d, p_cnt, c, r * width), jnp.float32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((c, (height + 2) * width), jnp.float32),    # h flat
+            pltpu.VMEM((c, (height + 2) * width), jnp.float32),    # m flat
+            pltpu.VMEM((cin, (height + 2) * width), jnp.float32),  # x flat
+            pltpu.VMEM((p_cnt, 2 * c, r * width), jnp.float32),    # raw gates
+            pltpu.VMEM((p_cnt, 3 * c, r * width), jnp.float32),    # xc
+            pltpu.VMEM((9 * max(c, cin), r * width), jnp.float32),  # im2col
+            pltpu.VMEM((2, r * width), jnp.float32),               # border masks
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=127 * 1024 * 1024,
         ),
         interpret=_interp(interpret),
@@ -1356,6 +1445,18 @@ def red_recur_from_packed(h0, x, wx, wh, bh, wc, bc, gn, height, width,
     """Row-packed `red_recur_from`: h0 (P, C, R·W), x (D, P, Cin, R·W)."""
     return _red_recur_impl(x, wx, wh, bh, wc, bc, gn, height, width,
                            interpret, h0_packed=h0)
+
+
+def red_recur_from_packed_batched(h0, x, wx, wh, bh, wc, bc, gn, height,
+                                  width, interpret: bool = False):
+    """Batched row-packed seeded recurrence: h0 (B, P, C, R·W) (or None for
+    zero states), x (B, D, P, Cin, R·W) → (B, D, P, C, R·W), all B
+    independent recurrences in ONE pallas_call (grid=(B, D); the kernel
+    reseeds its resident state from batch b's h0 block at each d == 0).
+    Inference-only — no VJP; training differentiates the unbatched
+    `red_recur_packed` per element."""
+    return _red_recur_impl_batched(x, wx, wh, bh, wc, bc, gn, height, width,
+                                   interpret, h0_packed=h0)
 
 
 def _red_recur_fwd(x, wx, wh, bh, wc, bc, gn, height, width, interpret):

@@ -61,6 +61,10 @@ def main() -> None:
     p.add_argument("--sizes", default="384x768,1024x2048")
     p.add_argument("--ndepths", default="64,32,8")
     p.add_argument("--slab", type=int, default=8)
+    p.add_argument("--batch", type=int, default=1,
+                   help="tile batch B (predict_scene batch_tiles stand-in): "
+                        "the streaming path runs the batched grid=(B, D) "
+                        "pipeline; ms/image is per image")
     p.add_argument("--skip_full", action="store_true",
                    help="measure only the streaming path (e.g. when the "
                         "full volume OOMs)")
@@ -83,7 +87,7 @@ def main() -> None:
 
     for size in a.sizes.split(","):
         h, w = (int(x) for x in size.split("x"))
-        batch = numeric_batch(synthetic.make_batch(1, w, h, seed=0))
+        batch = numeric_batch(synthetic.make_batch(a.batch, w, h, seed=0))
         imgs = jnp.asarray(batch["imgs"])
         dvals = jnp.asarray(batch["depth_values"])
         model = CascadeREDNet(geo_model="rpc", ndepths=nd)
@@ -111,16 +115,16 @@ def main() -> None:
         dt_s = None
         if a.only in ("both", "stream"):
             mb_s, tmp_s = _mem_analysis_mb(strm, jnp.float32(0))
-            dt_s = bench._time_fn(strm, iters=5)
+            dt_s = bench._time_fn(strm, iters=5) / a.batch
             pk_s = _live_peak_mb()
-            print(f"{size}: slab={a.slab:2d}     {dt_s * 1e3:8.1f} ms/image "
+            print(f"{size}: slab={a.slab:2d} B={a.batch} {dt_s * 1e3:8.1f} ms/image "
                   f"({1 / dt_s:5.2f} img/s)  mem {mb_s:7.0f} MB "
                   f"(temps {tmp_s:.0f}; live peak {pk_s:.0f})", flush=True)
 
         if a.skip_full or a.only == "stream":
             continue
         mb_f, tmp_f = _mem_analysis_mb(full, jnp.float32(0))
-        dt_full = bench._time_fn(full, iters=5)
+        dt_full = bench._time_fn(full, iters=5) / a.batch
         pk_f = _live_peak_mb()
         rel = (f"  [slab = {dt_s / dt_full:.2f}x time]"
                if dt_s is not None else "")

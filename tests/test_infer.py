@@ -170,11 +170,19 @@ def test_tiling_partition_and_stitch():
     np.testing.assert_array_equal(tiling.stitch(tiles, outs, 200, 300), scene)
 
 
-def test_streaming_fused_slab_matches_plane_streaming():
+import pytest
+
+
+@pytest.mark.parametrize("batch_size", [1, 2])
+def test_streaming_fused_slab_matches_plane_streaming(batch_size):
     """The TPU fused slab path (row-packed pipeline + state-seeded fused
     recurrence, exercised on CPU via auto-interpret) must equal the
-    plane-at-a-time stream."""
-    batch = numeric_batch(synthetic.make_batch(batch_size=1, width=32, height=32))
+    plane-at-a-time stream.  batch_size=2 covers the batched grid=(B, D)
+    pipeline (per-element state reseeding in one kernel —
+    packed_red_pipeline_batched)."""
+    batch = numeric_batch(
+        synthetic.make_batch(batch_size=batch_size, width=32, height=32)
+    )
     ndepths = (8, 4, 4)
     model = CascadeREDNet(geo_model="rpc", ndepths=ndepths)
     variables = model.init(
