@@ -45,6 +45,14 @@ def main() -> None:
     p.add_argument("--batch_tiles", type=int, default=0,
                    help="tiles per forward (0 = one per device; batch is "
                         "sharded across all devices' data axis)")
+    p.add_argument("--streaming", action="store_true",
+                   help="slab-streaming per-tile forward (red model only): "
+                        "O(slab) memory in D; with --batch_tiles the whole "
+                        "tile batch runs the batched grid=(B, D) fused "
+                        "pipeline")
+    p.add_argument("--slab", type=int, default=8,
+                   help="planes per streaming scan step (0 = one plane at a "
+                        "time through the unfused step)")
     a = p.parse_args()
     assert len(a.images) == len(a.rpcs)
 
@@ -104,9 +112,27 @@ def main() -> None:
     print(f"loaded checkpoint epoch {ep}")
     variables = {"params": restored.params, "batch_stats": restored.batch_stats}
 
-    @jax.jit
-    def forward(imgs, cams, dvals):
-        return model.apply(variables, imgs, cams, dvals, train=False)
+    if a.streaming and a.model == "red":
+        # slab-streaming tile forward (infer/predict.py): O(slab)-memory in
+        # D; a >1 tile batch takes the batched grid=(B, D) fused pipeline
+        from functools import partial
+
+        from satmvs_tpu.infer.predict import streaming_red_forward
+
+        forward = jax.jit(partial(
+            streaming_red_forward, variables, geo_model="rpc",
+            ndepths=cfg.ndepths, depth_intervals_ratio=cfg.depth_inter_r,
+            min_interval=cfg.min_interval, cr_base_chs=cfg.cr_base_chs,
+            slab=a.slab,
+        ))
+    else:
+        if a.streaming:
+            print("WARNING: --streaming is red-only; using the full-volume "
+                  "forward", file=sys.stderr)
+
+        @jax.jit
+        def forward(imgs, cams, dvals):
+            return model.apply(variables, imgs, cams, dvals, train=False)
 
     # tile-parallel: one tile per device by default (mesh over all devices)
     from satmvs_tpu.dist.mesh import make_mesh
