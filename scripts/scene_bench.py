@@ -68,6 +68,12 @@ def main() -> None:
     p.add_argument("--train_epochs", type=int, default=8)
     p.add_argument("--train_scenes", type=int, default=6)
     p.add_argument("--workdir", default="")
+    p.add_argument("--streaming", action="store_true",
+                   help="slab-streaming tile forward (predict_scene "
+                        "--streaming; batched grid=(B, D) pipeline with "
+                        "--batch_tiles > 1)")
+    p.add_argument("--slab", type=int, default=8)
+    p.add_argument("--batch_tiles", type=int, default=0)
     a = p.parse_args()
 
     import numpy as np
@@ -128,7 +134,9 @@ def main() -> None:
          "--images", *img_paths, "--rpcs", *rpc_paths,
          f"--loadckpt={ckpt}", f"--out={out_pfm}",
          "--ndepths", a.ndepths, "--ref_index", "2",
-         "--tile", str(a.tile), "--halo", str(a.halo)],
+         "--tile", str(a.tile), "--halo", str(a.halo)]
+        + (["--streaming", "--slab", str(a.slab)] if a.streaming else [])
+        + (["--batch_tiles", str(a.batch_tiles)] if a.batch_tiles else []),
         env=env, capture_output=True, text=True, timeout=6000,
     )
     wall = time.time() - t0
