@@ -116,16 +116,21 @@ def _xla_bytes(fn, *args):
 
 
 def _roofline_report(tag, dt, flops, fn=None, args=()):
-    """Print achieved FLOP/s vs MXU peak and HBM GB/s vs bandwidth peak."""
+    """Print achieved FLOP/s vs MXU peak and HBM GB/s vs bandwidth peak.
+    Returns (mfu_fraction, hbm_fraction_or_None) for the parsed payload."""
     tf = flops / dt / 1e12
+    mfu = tf * 1e12 / PEAK_FLOPS
     line = (f"[bench] {tag}: {tf:.1f} TFLOP/s analytic "
-            f"({100 * tf * 1e12 / PEAK_FLOPS:.1f}% of bf16 peak)")
+            f"({100 * mfu:.1f}% of bf16 peak)")
     by = _xla_bytes(fn, *args) if fn is not None else None
+    hbm = None
     if by is not None:
         gbs = by / dt / 1e9
+        hbm = gbs / PEAK_HBM_GBS
         line += (f"; XLA-counted {by / 1e6:.0f} MB -> {gbs:.0f} GB/s "
-                 f"({100 * gbs / PEAK_HBM_GBS:.0f}% of HBM peak)")
+                 f"({100 * hbm:.0f}% of HBM peak)")
     print(line, file=sys.stderr)
+    return mfu, hbm
 
 
 def _time_fn(step, iters: int = 10) -> float:
@@ -229,7 +234,11 @@ def bench_model_forward() -> float:
     batch = numeric_batch(
         synthetic.make_batch(batch_size=1, width=PATCH_W, height=PATCH_H, seed=0)
     )
-    model = CascadeREDNet(geo_model="rpc", ndepths=(64, 32, 8))
+    import os
+
+    fused = (None if "SATMVS_FUSED_RED" not in os.environ
+             else os.environ["SATMVS_FUSED_RED"] != "0")
+    model = CascadeREDNet(geo_model="rpc", ndepths=(64, 32, 8), fused_red=fused)
     variables = model.init(
         jax.random.PRNGKey(0),
         batch["imgs"], batch["cams"], batch["depth_values"], train=False,
@@ -248,9 +257,14 @@ def bench_model_forward() -> float:
     dt = _time_fn(step, iters=5)
     print(f"[bench] red_forward_384x768: {dt * 1e3:.1f} ms/image, {1 / dt:.2f} images/s",
           file=sys.stderr)
-    _roofline_report("red_forward mfu", dt, analytic_forward_flops(),
-                     step, (jnp.float32(0),))
-    return 1.0 / dt
+    mfu, hbm = _roofline_report("red_forward mfu", dt, analytic_forward_flops(),
+                                step, (jnp.float32(0),))
+    out = {"red_forward_ms": round(dt * 1e3, 1),
+           "red_forward_img_s": round(1 / dt, 2),
+           "red_forward_mfu": round(mfu, 4)}
+    if hbm is not None:
+        out["red_forward_hbm_frac"] = round(hbm, 3)
+    return out
 
 
 def bench_train_step() -> float:
@@ -288,21 +302,122 @@ def bench_train_step() -> float:
           file=sys.stderr)
     # train MFU: algorithmic forward + backward = 3x forward FLOPs (the
     # kernels' in-VMEM recompute is not counted as useful work)
-    _roofline_report("red_train mfu", dt, 3 * analytic_forward_flops(),
-                     step, (jnp.float32(0),))
-    return 1.0 / dt
+    mfu, hbm = _roofline_report("red_train mfu", dt, 3 * analytic_forward_flops(),
+                                step, (jnp.float32(0),))
+    out = {"red_train_ms": round(dt * 1e3, 1),
+           "red_train_img_s": round(1 / dt, 2),
+           "red_train_mfu": round(mfu, 4)}
+    if hbm is not None:
+        out["red_train_hbm_frac"] = round(hbm, 3)
+    return out
+
+
+def bench_cross_models() -> dict:
+    """casmvs/ucs forward + train ms at the patch (the BASELINE cross-model
+    table, mechanically diffable — reproduce: scripts/model_bench.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from satmvs_tpu.data import synthetic
+    from satmvs_tpu.models import build_model
+    from satmvs_tpu.train.config import Config
+    from satmvs_tpu.train.loop import (
+        create_model_and_state, make_train_step, numeric_batch,
+    )
+
+    batch = numeric_batch(
+        synthetic.make_batch(batch_size=1, width=PATCH_W, height=PATCH_H, seed=0)
+    )
+    imgs = jnp.asarray(batch["imgs"])
+    dvals = jnp.asarray(batch["depth_values"])
+    out = {}
+    for name in ("casmvs", "ucs"):
+        model = build_model(name, "rpc", ndepths=(64, 32, 8))
+        variables = model.init(jax.random.PRNGKey(0), imgs, batch["cams"],
+                               dvals, train=False)
+
+        def fwd(c):
+            o = model.apply(variables, imgs + c * 1e-12, batch["cams"],
+                            dvals, train=False)
+            return o["depth"].ravel()[0]
+
+        dt = _time_fn(fwd, iters=5)
+        out[f"{name}_forward_ms"] = round(dt * 1e3, 1)
+        print(f"[bench] {name}_forward_384x768: {dt * 1e3:.1f} ms/image",
+              file=sys.stderr)
+
+        cfg = Config(model=name, geo_model="rpc", ndepths=(64, 32, 8))
+        model_t, state, tx = create_model_and_state(cfg, batch,
+                                                    steps_per_epoch=100)
+        step_fn = make_train_step(model_t, tx, tuple(cfg.dlossw))
+
+        def tstep(c):
+            b = dict(batch, imgs=imgs + c * 1e-12)
+            new_state, scalars = step_fn(state, b)
+            leaf = jax.tree.leaves(new_state.params)[0]
+            return scalars["loss"] + leaf.ravel()[0] * 1e-20
+
+        dt = _time_fn(tstep, iters=3)
+        out[f"{name}_train_ms"] = round(dt * 1e3, 1)
+        print(f"[bench] {name}_train_384x768: {dt * 1e3:.1f} ms/step",
+              file=sys.stderr)
+    return out
+
+
+def bench_stream_ratio(full_forward_ms: float) -> dict:
+    """Slab-streaming forward vs the full-volume time measured above
+    (same-process ratio; the per-process record is scripts/stream_bench.py)."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from satmvs_tpu.data import synthetic
+    from satmvs_tpu.infer.predict import streaming_red_forward
+    from satmvs_tpu.models import CascadeREDNet
+    from satmvs_tpu.train.loop import numeric_batch
+
+    batch = numeric_batch(
+        synthetic.make_batch(batch_size=1, width=PATCH_W, height=PATCH_H, seed=0)
+    )
+    model = CascadeREDNet(geo_model="rpc", ndepths=(64, 32, 8))
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        batch["imgs"], batch["cams"], batch["depth_values"], train=False,
+    )
+    fwd = partial(streaming_red_forward, variables, geo_model="rpc",
+                  ndepths=(64, 32, 8), slab=8)
+    imgs = jnp.asarray(batch["imgs"])
+    dvals = jnp.asarray(batch["depth_values"])
+
+    def step(c):
+        out = fwd(imgs + c * 1e-12, batch["cams"], dvals)
+        return out["stage3"]["depth"].ravel()[0]
+
+    dt = _time_fn(step, iters=5)
+    ratio = dt * 1e3 / full_forward_ms
+    print(f"[bench] stream_slab8_384x768: {dt * 1e3:.1f} ms/image "
+          f"({ratio:.2f}x full-volume)", file=sys.stderr)
+    return {"stream_ms": round(dt * 1e3, 1),
+            "stream_over_full_ratio": round(ratio, 3)}
 
 
 def main() -> None:
     views_per_s = bench_plane_sweep()
-    try:
-        bench_model_forward()
-    except Exception as e:  # secondary bench must not sink the primary metric
-        print(f"[bench] model forward bench failed: {e}", file=sys.stderr)
-    try:
-        bench_train_step()
-    except Exception as e:
-        print(f"[bench] train step bench failed: {e}", file=sys.stderr)
+    # every secondary bench lands in the parsed payload (extras) so rounds
+    # can be diffed mechanically; none may sink the primary metric
+    extras: dict = {}
+    for fn, args in (
+        (bench_model_forward, None),
+        (bench_train_step, None),
+        (bench_cross_models, None),
+        (bench_stream_ratio, "red_forward_ms"),
+    ):
+        try:
+            a = () if args is None else (extras[args],)
+            extras.update(fn(*a))
+        except Exception as e:
+            print(f"[bench] {fn.__name__} failed: {e}", file=sys.stderr)
 
     print(
         json.dumps(
@@ -311,6 +426,7 @@ def main() -> None:
                 "value": round(views_per_s, 2),
                 "unit": "views/s/chip (stage-1 384x768 patch, D=64)",
                 "vs_baseline": round(views_per_s / BASELINE_PROXY_VIEWS_PER_S, 2),
+                "extras": extras,
             }
         )
     )

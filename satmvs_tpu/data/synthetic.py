@@ -246,6 +246,7 @@ def write_synthetic_dataset(
     view_num: int = 3,
     seed: int = 0,
     h_amp: float = 80.0,
+    name_prefix: str = "scene",
     **rpc_kwargs,
 ) -> str:
     """Materialize synthetic scenes in the WHU-TLC on-disk layout
@@ -264,7 +265,7 @@ def write_synthetic_dataset(
 
     for s in range(num_scenes):
         rpcs = make_rpc_triplet(width, height, seed=seed + 31 * s, **rpc_kwargs)
-        name = f"scene{s:04d}"
+        name = f"{name_prefix}{s:04d}"
         for v, rpc in enumerate(rpcs):
             img, hmap = render_view(rpc, width, height, terrain_seed=seed + 31 * s, h_amp=h_amp)
             Image.fromarray(img.astype(np.uint8)).save(
@@ -272,6 +273,35 @@ def write_synthetic_dataset(
             )
             formats.save_rpc(os.path.join(root, "rpc", str(v), name + ".rpc"), rpc)
             formats.save_pfm(os.path.join(root, "height", str(v), name + ".pfm"), hmap)
+    return root
+
+
+def write_whu_tlc_tree(
+    root: str,
+    num_train: int = 2,
+    num_test: int = 1,
+    width: int = 64,
+    height: int = 64,
+    seed: int = 0,
+    h_amp: float = 80.0,
+    **rpc_kwargs,
+) -> str:
+    """Materialize the EXACT WHU-TLC "open_dataset" on-disk tree with
+    synthetic content: <root>/open_dataset_rpc/{train,test}/{image,rpc,
+    height}/{0,1,2}/blockNNNN.* — the split dirs the reference train.py
+    resolves (ref train.py:65-66) and the blockwise naming its production
+    pipeline uses (ref tools/rpc_tensor.py:174-181: block0000.rpc/.pfm).
+    When the real dataset becomes fetchable, parity is a download away —
+    the whole CLI journey already runs over this layout
+    (tests/test_cli.py::test_whu_tlc_layout_journey)."""
+    import os
+
+    for split, n, s0 in (("train", num_train, 0), ("test", num_test, 1000)):
+        write_synthetic_dataset(
+            os.path.join(root, "open_dataset_rpc", split),
+            num_scenes=n, width=width, height=height, seed=seed + s0,
+            h_amp=h_amp, name_prefix="block", **rpc_kwargs,
+        )
     return root
 
 

@@ -24,7 +24,7 @@ coarsest, like the reference's outputs) plus top-level final-stage aliases.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -191,6 +191,13 @@ class CascadeModel(nn.Module):
     # train/loop.create_model_and_state seeds it from SATMVS_TRAIN_FUSED_SWEEP
     # once at model build for A/B runs.
     train_fused_sweep: bool = False
+    # Use the fused Pallas RED pipeline (row-packed recurrence kernels) for
+    # the "red" regularizer.  None = auto (on when the backend is TPU, where
+    # the kernels exist); True/False forces.  A real config field, same
+    # rationale as train_fused_sweep above — the old SATMVS_FUSED_RED env
+    # read inside __call__ was a trace-time read a jitted step would cache;
+    # build_model seeds this from that env var once at build for A/B runs.
+    fused_red: Optional[bool] = None
     # Rematerialize the regularizers during backprop (jax.checkpoint): trades
     # recompute for activation memory — enables training larger tiles / depth
     # counts (the memory-frugality analog of the reference's streaming trick,
@@ -277,12 +284,8 @@ class CascadeModel(nn.Module):
             # Pallas kernels' native (..., h, C, w) layout — the NHWC
             # round-trips at the kernel boundaries were ~15-20 ms of the
             # train step (relayout copies, NOTES round-3 cost map).
-            import os
-
-            fused_red = (
-                jax.default_backend() == "tpu"
-                and os.environ.get("SATMVS_FUSED_RED", "1") != "0"
-            )
+            fused_red = (jax.default_backend() == "tpu"
+                         if self.fused_red is None else bool(self.fused_red))
             vol_layout = ("hcw" if self.regularizer == "red" and fused_red
                           and not self.remat else "nhwc")
             volume = build_stage_volume(

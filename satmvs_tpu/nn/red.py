@@ -179,6 +179,61 @@ def packed_pipeline_feasible(h: int, w: int, cin: int,
     return pcv.conv_head_vmem_bytes(h, w, b, 1, train) <= cap
 
 
+def _packed_pipeline_body(cells: dict, flat_vol: jnp.ndarray, h: int, w: int,
+                          layout: str, recur):
+    """Shared encoder/decoder/head body of the fused RED pipeline.
+
+    flat_vol: (N, h, w, C) planes (N = D or B·D), or (N, h, C, w) with
+    layout="hcw".  `recur(i, x_s, s, mats)` runs scale i's ConvGRU depth
+    recurrence on the packed planes x_s (N, P, C, R·W) and returns
+    (r_flat (N, P, C, R·W), carry_state) — the only point where the
+    unbatched and batched pipelines differ.
+    Returns (packed logits (N·? rows form), states tuple fine→coarse).
+    """
+    from ..ops.pallas import plane_conv as pcv
+    from ..ops.pallas.red_recur import cell_params_matrices
+
+    # gru1..gru4 ↔ ConvGRUCell_3..0 (creation order, REDStep.setup)
+    mats = [cell_params_matrices(cells[f"ConvGRUCell_{k}"])
+            for k in (3, 2, 1, 0)]
+    # DELIBERATE fp32 promotion: the Pallas kernels run fp32 regardless of
+    # compute_dtype — the recurrence/GroupNorm math is fp32 by design (same
+    # as the scan path's in-scan cells), and the encoder/decoder matmuls
+    # are MXU bf16-pass internally anyway; bf16 here would only save VMEM
+    # the kernels don't need.  The bf16 knob's win is HBM traffic in the
+    # XLA conv path (FeatureNet/CostRegNet), not here.
+    f32 = lambda t: t.astype(jnp.float32)
+    w_enc = [f32(cells[f"ConvBlock_{i}"]["Conv_0"]["kernel"]) for i in range(3)]
+    w_dec = [f32(cells[f"DeconvBlock_{i}"]["ConvTranspose_0"]["kernel"])
+             for i in range(3)]
+    w_head = f32(cells["Conv_0"]["kernel"])
+    b_head = f32(cells["Conv_0"]["bias"])
+
+    pack = pcv.pack_planes_hcw if layout == "hcw" else pcv.pack_planes
+    xp = pack(f32(-flat_vol))
+    # stride-2 convs consume column-split halves; transposed convs emit
+    # them (Mosaic can't lane-shuffle — plane_conv.py module docstring)
+    c1 = pcv.conv_dn(*pcv.split_cols(xp), w_enc[0], h, w)
+    c2 = pcv.conv_dn(*pcv.split_cols(c1), w_enc[1], h // 2, w // 2)
+    c3 = pcv.conv_dn(*pcv.split_cols(c2), w_enc[2], h // 4, w // 4)
+    rs, states = [], []
+    for i, (x_s, s) in enumerate(((xp, 1), (c1, 2), (c2, 4), (c3, 8))):
+        r_flat, st = recur(i, x_s, s, mats[i])
+        rs.append(r_flat)
+        states.append(st)
+    r1, r2, r3, r4 = rs
+
+    def up_add(ue, uo, r_skip):
+        re_, ro_ = pcv.split_cols(r_skip)
+        return pcv.merge_cols(ue + re_, uo + ro_)
+
+    t2 = up_add(*pcv.deconv_up(r4, w_dec[0], h // 8, w // 8), r3)
+    t1 = up_add(*pcv.deconv_up(t2, w_dec[1], h // 4, w // 4), r2)
+    hin = up_add(*pcv.deconv_up(t1, w_dec[2], h // 2, w // 2), r1)
+    lg = pcv.conv_head(hin, w_head, b_head, h, w)
+    return lg, tuple(states)
+
+
 def packed_red_pipeline(cells: dict, vol: jnp.ndarray, h: int, w: int,
                         h0s=None, layout: str = "nhwc"):
     """One batch element of the row-packed fused RED pipeline.
@@ -198,55 +253,20 @@ def packed_red_pipeline(cells: dict, vol: jnp.ndarray, h: int, w: int,
     deconv_up ×3 + conv_head (decoder); XLA contributes only the input pack
     transpose, the skip adds, and the output reshape.
     """
-    from ..ops.pallas import plane_conv as pcv
-    from ..ops.pallas.red_recur import (
-        cell_params_matrices, red_recur_from_packed, red_recur_packed,
-    )
+    from ..ops.pallas.red_recur import red_recur_from_packed, red_recur_packed
 
     d = vol.shape[0]
-    # gru1..gru4 ↔ ConvGRUCell_3..0 (creation order, REDStep.setup)
-    mats = [cell_params_matrices(cells[f"ConvGRUCell_{k}"])
-            for k in (3, 2, 1, 0)]
-    # DELIBERATE fp32 promotion: the Pallas kernels run fp32 regardless of
-    # compute_dtype — the recurrence/GroupNorm math is fp32 by design (same
-    # as the scan path's in-scan cells), and the encoder/decoder matmuls
-    # are MXU bf16-pass internally anyway; bf16 here would only save VMEM
-    # the kernels don't need.  The bf16 knob's win is HBM traffic in the
-    # XLA conv path (FeatureNet/CostRegNet), not here.
-    f32 = lambda t: t.astype(jnp.float32)
-    w_enc = [f32(cells[f"ConvBlock_{i}"]["Conv_0"]["kernel"]) for i in range(3)]
-    w_dec = [f32(cells[f"DeconvBlock_{i}"]["ConvTranspose_0"]["kernel"])
-             for i in range(3)]
-    w_head = f32(cells["Conv_0"]["kernel"])
-    b_head = f32(cells["Conv_0"]["bias"])
 
-    pack = pcv.pack_planes_hcw if layout == "hcw" else pcv.pack_planes
-    xp = pack(f32(-vol))
-    # stride-2 convs consume column-split halves; transposed convs emit
-    # them (Mosaic can't lane-shuffle — plane_conv.py module docstring)
-    c1 = pcv.conv_dn(*pcv.split_cols(xp), w_enc[0], h, w)
-    c2 = pcv.conv_dn(*pcv.split_cols(c1), w_enc[1], h // 2, w // 2)
-    c3 = pcv.conv_dn(*pcv.split_cols(c2), w_enc[2], h // 4, w // 4)
-    scales = ((xp, 1), (c1, 2), (c2, 4), (c3, 8))
-    rs = []
-    for i, (x_s, s) in enumerate(scales):
+    def recur(i, x_s, s, m):
         if h0s is None:
-            rs.append(red_recur_packed(x_s, *mats[i], h // s, w // s))
+            r = red_recur_packed(x_s, *m, h // s, w // s)
         else:
-            rs.append(red_recur_from_packed(h0s[i], x_s, *mats[i],
-                                            h // s, w // s))
-    r1, r2, r3, r4 = rs
+            r = red_recur_from_packed(h0s[i], x_s, *m, h // s, w // s)
+        return r, r[-1]
 
-    def up_add(ue, uo, r_skip):
-        re_, ro_ = pcv.split_cols(r_skip)
-        return pcv.merge_cols(ue + re_, uo + ro_)
-
-    t2 = up_add(*pcv.deconv_up(r4, w_dec[0], h // 8, w // 8), r3)
-    t1 = up_add(*pcv.deconv_up(t2, w_dec[1], h // 4, w // 4), r2)
-    hin = up_add(*pcv.deconv_up(t1, w_dec[2], h // 2, w // 2), r1)
-    lg = pcv.conv_head(hin, w_head, b_head, h, w)
+    lg, states = _packed_pipeline_body(cells, vol, h, w, layout, recur)
     # row-packed 1-channel output keeps rows in order → plain reshape
-    return lg.reshape(d, h, w), tuple(r[-1] for r in rs)
+    return lg.reshape(d, h, w), states
 
 
 def packed_red_pipeline_batched(cells: dict, vol: jnp.ndarray, h: int, w: int,
@@ -266,46 +286,19 @@ def packed_red_pipeline_batched(cells: dict, vol: jnp.ndarray, h: int, w: int,
     boundary glue grew linearly with the tile batch (predict_scene
     batch_tiles; VERDICT r2 weak #4).  No VJP: training keeps the per-element
     pipeline."""
-    from ..ops.pallas import plane_conv as pcv
-    from ..ops.pallas.red_recur import (
-        cell_params_matrices, red_recur_from_packed_batched,
-    )
+    from ..ops.pallas.red_recur import red_recur_from_packed_batched
 
     b, d = vol.shape[0], vol.shape[1]
-    mats = [cell_params_matrices(cells[f"ConvGRUCell_{k}"])
-            for k in (3, 2, 1, 0)]
-    f32 = lambda t: t.astype(jnp.float32)  # deliberate fp32 promotion — see
-    # packed_red_pipeline
-    w_enc = [f32(cells[f"ConvBlock_{i}"]["Conv_0"]["kernel"]) for i in range(3)]
-    w_dec = [f32(cells[f"DeconvBlock_{i}"]["ConvTranspose_0"]["kernel"])
-             for i in range(3)]
-    w_head = f32(cells["Conv_0"]["kernel"])
-    b_head = f32(cells["Conv_0"]["bias"])
-
-    pack = pcv.pack_planes_hcw if layout == "hcw" else pcv.pack_planes
     flat = vol.reshape((b * d,) + vol.shape[2:])
-    xp = pack(f32(-flat))                                # (B·D, P, C, R·W)
-    c1 = pcv.conv_dn(*pcv.split_cols(xp), w_enc[0], h, w)
-    c2 = pcv.conv_dn(*pcv.split_cols(c1), w_enc[1], h // 2, w // 2)
-    c3 = pcv.conv_dn(*pcv.split_cols(c2), w_enc[2], h // 4, w // 4)
-    rs, states = [], []
-    for i, (x_s, s) in enumerate(((xp, 1), (c1, 2), (c2, 4), (c3, 8))):
+
+    def recur(i, x_s, s, m):
         x5 = x_s.reshape((b, d) + x_s.shape[1:])
         h0 = None if h0s is None else h0s[i]
-        r5 = red_recur_from_packed_batched(h0, x5, *mats[i], h // s, w // s)
-        states.append(r5[:, -1])                         # (B, P, C, R·W)
-        rs.append(r5.reshape((b * d,) + r5.shape[2:]))
-    r1, r2, r3, r4 = rs
+        r5 = red_recur_from_packed_batched(h0, x5, *m, h // s, w // s)
+        return r5.reshape((b * d,) + r5.shape[2:]), r5[:, -1]  # (B, P, C, R·W)
 
-    def up_add(ue, uo, r_skip):
-        re_, ro_ = pcv.split_cols(r_skip)
-        return pcv.merge_cols(ue + re_, uo + ro_)
-
-    t2 = up_add(*pcv.deconv_up(r4, w_dec[0], h // 8, w // 8), r3)
-    t1 = up_add(*pcv.deconv_up(t2, w_dec[1], h // 4, w // 4), r2)
-    hin = up_add(*pcv.deconv_up(t1, w_dec[2], h // 2, w // 2), r1)
-    lg = pcv.conv_head(hin, w_head, b_head, h, w)
-    return lg.reshape(b, d, h, w), tuple(states)
+    lg, states = _packed_pipeline_body(cells, flat, h, w, layout, recur)
+    return lg.reshape(b, d, h, w), states
 
 
 def init_red_states_packed(h: int, w: int, base_channels: int = 8):

@@ -47,6 +47,9 @@ class Config:
     # grid_sample(align_corners=False) sampling convention + its full-res-
     # then-downsample hypothesis chain (models/cascade.py torch_compat).
     torch_compat: bool = False
+    # Fused Pallas RED pipeline: None = auto (on when backend is TPU);
+    # True/False forces (models/cascade.py fused_red field).
+    fused_red: Optional[bool] = None
 
     # optimization
     epochs: int = 30
@@ -98,6 +101,9 @@ class Config:
                        choices=[0, 4, 8])
         p.add_argument("--compute_dtype", default=d.compute_dtype,
                        choices=["float32", "bfloat16"])
+        p.add_argument("--fused_red", default="auto",
+                       choices=["auto", "on", "off"],
+                       help="fused Pallas RED pipeline (auto = TPU backend)")
         p.add_argument("--epochs", type=int, default=d.epochs)
         p.add_argument("--lr", type=float, default=d.lr)
         p.add_argument("--lrepochs", default="10,12,14:2")
@@ -125,6 +131,7 @@ class Config:
             cr_base_chs=tuple(int(x) for x in a.cr_base_chs.split(",") if x),
             sweep_stencil=a.sweep_stencil,
             compute_dtype=a.compute_dtype,
+            fused_red={"auto": None, "on": True, "off": False}[a.fused_red],
             epochs=a.epochs, lr=a.lr,
             lr_milestones=tuple(int(x) for x in milestones_str.split(",") if x),
             lr_gamma=1.0 / float(gamma_str),

@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Wire-level scaling evidence without multi-chip hardware (VERDICT r3 #7).
+
+Compiles the PRODUCTION-geometry data-parallel train step (red, 384x768,
+D=64/32/8, batch = mesh size) over an 8-virtual-device CPU mesh and prints
+the compiled SPMD program's collective inventory — (op, count, bytes) per
+step, straight from XLA — replacing the analytic "~2.5 MB grads" argument in
+BASELINE.md's scaling section with the compiler's own numbers.
+
+Usage: python scripts/collectives_report.py [--devices 8] [--size 384x768]
+       [--model red] [--ndepths 64,32,8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--devices", type=int, default=8)
+    p.add_argument("--size", default="384x768")
+    p.add_argument("--model", default="red")
+    p.add_argument("--ndepths", default="64,32,8")
+    a = p.parse_args()
+
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={a.devices}"
+    ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from __graft_entry__ import _collective_inventory
+    from satmvs_tpu.data import synthetic
+    from satmvs_tpu.dist import make_mesh, replicate, shard_batch
+    from satmvs_tpu.models import cascade_loss
+    from satmvs_tpu.train.config import Config
+    from satmvs_tpu.train.loop import (
+        create_model_and_state, make_train_step, numeric_batch,
+    )
+
+    h, w = (int(x) for x in a.size.split("x"))
+    nd = tuple(int(x) for x in a.ndepths.split(","))
+    mesh = make_mesh(data=a.devices)
+    batch = numeric_batch(
+        synthetic.make_batch(batch_size=a.devices, width=w, height=h, seed=0)
+    )
+    cfg = Config(model=a.model, geo_model="rpc", ndepths=nd)
+    model, state, tx = create_model_and_state(cfg, batch, steps_per_epoch=100)
+    step = make_train_step(model, tx, tuple(cfg.dlossw))
+
+    n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(state.params))
+    print(f"[collectives_report] {a.model} {a.size} D={nd} "
+          f"data-parallel x{a.devices}; params {n_params} "
+          f"({n_params * 4 / 1e6:.2f} MB fp32)")
+
+    with jax.set_mesh(mesh):
+        sharded_state = replicate(state, mesh)
+        sharded_batch = shard_batch(batch, mesh)
+        compiled = step.lower(sharded_state, sharded_batch).compile()
+    inv = _collective_inventory(compiled)
+    total = sum(b for _, _, b in inv)
+    print(f"{'collective':20s} {'count':>6s} {'bytes/step':>12s}")
+    for op, c, b in inv:
+        print(f"{op:20s} {c:6d} {b:12d}")
+    print(f"{'TOTAL':20s} {sum(c for _, c, _ in inv):6d} {total:12d}  "
+          f"({total / 1e6:.2f} MB/step)")
+
+
+if __name__ == "__main__":
+    main()

@@ -112,6 +112,13 @@ def main() -> None:
     print(f"loaded checkpoint epoch {ep}")
     variables = {"params": restored.params, "batch_stats": restored.batch_stats}
 
+    # tile-parallel: one tile per device by default (mesh over all devices)
+    from satmvs_tpu.dist.mesh import make_mesh
+
+    n_dev = len(jax.devices())
+    batch_tiles = a.batch_tiles or n_dev
+    mesh = make_mesh(data=n_dev) if n_dev > 1 else None
+
     if a.streaming and a.model == "red":
         # slab-streaming tile forward (infer/predict.py): O(slab)-memory in
         # D; a >1 tile batch takes the batched grid=(B, D) fused pipeline
@@ -119,12 +126,26 @@ def main() -> None:
 
         from satmvs_tpu.infer.predict import streaming_red_forward
 
-        forward = jax.jit(partial(
+        inner = partial(
             streaming_red_forward, variables, geo_model="rpc",
             ndepths=cfg.ndepths, depth_intervals_ratio=cfg.depth_inter_r,
             min_interval=cfg.min_interval, cr_base_chs=cfg.cr_base_chs,
             slab=a.slab,
-        ))
+        )
+        if mesh is not None:
+            # GSPMD has no partitioning rule for the batched grid=(B, D)
+            # pallas_calls — shard_map the data axis instead so each device
+            # traces its LOCAL tile sub-batch (sharded==serial:
+            # tests/test_scene.py::test_streaming_shard_map_matches_serial)
+            from jax.sharding import PartitionSpec as P
+            from jax import shard_map
+
+            inner = shard_map(
+                inner, mesh=mesh,
+                in_specs=(P("data"), P("data"), P("data")),
+                out_specs=P("data"), check_vma=False,
+            )
+        forward = jax.jit(inner)
     else:
         if a.streaming:
             print("WARNING: --streaming is red-only; using the full-volume "
@@ -133,13 +154,6 @@ def main() -> None:
         @jax.jit
         def forward(imgs, cams, dvals):
             return model.apply(variables, imgs, cams, dvals, train=False)
-
-    # tile-parallel: one tile per device by default (mesh over all devices)
-    from satmvs_tpu.dist.mesh import make_mesh
-
-    n_dev = len(jax.devices())
-    batch_tiles = a.batch_tiles or n_dev
-    mesh = make_mesh(data=n_dev) if n_dev > 1 else None
 
     t0 = time.time()
     stats: dict = {}

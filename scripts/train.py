@@ -68,6 +68,10 @@ def main() -> None:
         )
         from satmvs_tpu.train.metrics import DictAverageMeter
 
+        import numpy as np
+
+        from satmvs_tpu.data import formats
+
         el = Loader(make(testpath, "test"), cfg.batch_size)
         first = next(iter(el))
         model, state, _ = create_model_and_state(cfg, first, steps_per_epoch=1)
@@ -77,11 +81,30 @@ def main() -> None:
         print(f"loaded checkpoint epoch {ep}")
         eval_step = make_eval_step(model, tuple(cfg.dlossw), cfg.min_interval)
         meter = DictAverageMeter()
+        # per-sample height maps next to the test split, matching the
+        # reference test() output surface (ref train.py:225-264: a
+        # height_result/ folder per split; its masked gt uses -999)
+        out_dir = os.path.join(testpath, "height_result")
+        os.makedirs(out_dir, exist_ok=True)
         for i, batch in enumerate(el):
             scalars, depth, conf = eval_step(restored, numeric_batch(batch))
             scal = {k: float(v) for k, v in scalars.items()}
             meter.update(scal)
             print(f"iter {i}/{len(el)} {batch['out_name'][0]} {scal}")
+            depth = np.asarray(depth, np.float32)
+            conf = np.asarray(conf, np.float32)
+            gt = np.asarray(batch["depth_stages"][-1], np.float32)
+            mask = np.asarray(batch["mask_stages"][-1], np.float32)
+            for j in range(depth.shape[0]):
+                stem = os.path.join(
+                    out_dir, f"{batch['out_name'][j]}_{batch['out_view'][j]}"
+                )
+                formats.save_pfm(stem + ".pfm", depth[j])
+                formats.save_pfm(stem + "_prob.pfm", conf[j])
+                err = np.where(mask[j] > 0.5, depth[j] - gt[j],
+                               np.float32(-999.0))
+                formats.save_pfm(stem + "_err.pfm", err)
+        print(f"height maps written to {out_dir}")
         print("final:", meter.mean())
     elif cfg.mode == "profile":
         import jax

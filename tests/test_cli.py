@@ -48,6 +48,14 @@ def test_train_cli_and_predict_cli(tmp_path):
     ])
     assert r.returncode == 0, r.stderr[-3000:]
     assert "abs_depth_acc" in r.stdout
+    # test mode writes per-sample height/prob/error maps (ref train.py
+    # test() height_result/ surface)
+    import glob as _glob
+
+    hr = _glob.glob(os.path.join(root, "height_result", "*.pfm"))
+    assert hr, "no height_result maps written"
+    assert any(p.endswith("_err.pfm") for p in hr)
+    assert any(p.endswith("_prob.pfm") for p in hr)
 
     # predict writes the reference's mvs_results layout, then fuses a DSM
     r = _run([
@@ -187,3 +195,51 @@ def test_profile_mode(tmp_path):
     assert r.returncode == 0, r.stderr[-3000:]
     profile_dir = os.path.join(logdir, "casmvs", "rpc", "profile")
     assert os.path.isdir(profile_dir) and os.listdir(profile_dir)
+
+
+@pytest.mark.slow
+def test_whu_tlc_layout_journey(tmp_path):
+    """The exact WHU-TLC on-disk tree (open_dataset_rpc/{train,test} split
+    dirs, blockwise TLC naming — ref train.py:65-66, tools/rpc_tensor.py:
+    174-181) drives the full train→test→predict→fuse CLI journey with
+    synthetic content, so real-data parity is a download away (VERDICT r3
+    next-round #9)."""
+    from satmvs_tpu.data import synthetic
+
+    root = str(tmp_path / "WHU_TLC")
+    synthetic.write_whu_tlc_tree(root, num_train=2, num_test=1, width=32,
+                                 height=32, h_amp=40.0, h_scale=120.0)
+    logdir = str(tmp_path / "logs")
+
+    r = _run([
+        "scripts/train.py", "--mode=train", "--model=red", "--geo_model=rpc",
+        f"--dataset_root={root}", f"--logdir={logdir}",
+        "--ndepths", "8,4,4", "--epochs", "1", "--summary_freq", "1",
+    ])
+    assert r.returncode == 0, r.stderr[-3000:]
+    workdir = os.path.join(logdir, "red", "rpc")
+    # the split dirs were resolved (not the flat fallback)
+    assert os.path.exists(os.path.join(workdir, "train_record.txt"))
+
+    r = _run([
+        "scripts/train.py", "--mode=test", "--model=red", "--geo_model=rpc",
+        f"--dataset_root={root}", f"--logdir={logdir}", "--ndepths", "8,4,4",
+    ])
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "abs_depth_acc" in r.stdout
+    testpath = os.path.join(root, "open_dataset_rpc", "test")
+    import glob
+
+    assert glob.glob(os.path.join(testpath, "height_result", "block*_err.pfm"))
+
+    r = _run([
+        "scripts/predict.py", "--model=red", "--geo_model=rpc",
+        f"--dataset_root={testpath}", f"--loadckpt={workdir}",
+        "--ndepths", "8,4,4", "--fuse", "--geo_consist_num", "1",
+        "--d_ratio", "50", "--p_ratio", "5", "--confidence_ratio", "0.0",
+    ])
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert os.path.exists(
+        os.path.join(testpath, "mvs_results", "2", "init", "block1000.pfm")
+    )
+    assert glob.glob(os.path.join(testpath, "mvs_results", "*_dsm.pfm"))

@@ -5,6 +5,7 @@ rasterization, tiling."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from satmvs_tpu.data import synthetic
 from satmvs_tpu.geo import rpc as rpclib
@@ -168,9 +169,6 @@ def test_tiling_partition_and_stitch():
     # identity "prediction" stitches back exactly
     outs = [tiling.extract(scene, t) for t in tiles]
     np.testing.assert_array_equal(tiling.stitch(tiles, outs, 200, 300), scene)
-
-
-import pytest
 
 
 @pytest.mark.parametrize("batch_size", [1, 2])

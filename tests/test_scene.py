@@ -83,6 +83,58 @@ def test_predict_scene_seamless():
     np.testing.assert_allclose(conf_p, conf, atol=1e-4)
 
 
+def test_streaming_shard_map_matches_serial():
+    """The slab-streaming tile forward has no GSPMD partitioning rule for
+    its pallas_calls, so predict_scene wraps it in shard_map over the data
+    axis (scripts/predict_scene.py) — each device traces its LOCAL tile
+    sub-batch.  Sharded 4-tile batches must reproduce the serial loop."""
+    from functools import partial
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from satmvs_tpu.dist.mesh import make_mesh
+    from satmvs_tpu.infer.predict import streaming_red_forward
+
+    size = 96
+    scene = synthetic.make_scene(size, size, seed=9, h_amp=50.0)
+    order = [2, 0, 1]
+    images = scene["images"][order]
+    rpcs = scene["rpcs"][order]
+
+    ndepths = (8, 4, 4)
+    model = CascadeREDNet(geo_model="rpc", ndepths=ndepths)
+    from satmvs_tpu.data.preprocess import center_image
+
+    imgs0 = np.stack([center_image(np.repeat(im[..., None], 3, -1))
+                      for im in images])[None]
+    cams0 = tuple(
+        warplib.stack_cams([c]) for c in warplib.build_stage_cams(rpcs, 0, 3)
+    )
+    h_min, h_max = rpclib.height_range(rpcs[0])
+    dvals = jnp.asarray([[h_min, h_max]], jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(imgs0), cams0,
+                           dvals, train=False)
+
+    inner = partial(streaming_red_forward, variables, geo_model="rpc",
+                    ndepths=ndepths, slab=4)
+    depth_s, conf_s = predict_scene(
+        inner, images, rpcs, tile=64, halo=32, num_stage=3, ref_index=0,
+    )
+
+    mesh = make_mesh(data=4)
+    sharded = jax.jit(shard_map(
+        inner, mesh=mesh, in_specs=(P("data"), P("data"), P("data")),
+        out_specs=P("data"), check_vma=False,
+    ))
+    depth_p, conf_p = predict_scene(
+        sharded, images, rpcs, tile=64, halo=32, num_stage=3, ref_index=0,
+        batch_tiles=4, mesh=mesh,
+    )
+    np.testing.assert_allclose(depth_p, depth_s, atol=1e-3, rtol=1e-5)
+    np.testing.assert_allclose(conf_p, conf_s, atol=1e-4)
+
+
 def test_source_window_covers_offset_views():
     """Per-view tile windows: source views deliberately NOT co-registered
     with the reference (pixel grids shifted by ~40-50 px — beyond the halo).
