@@ -38,9 +38,14 @@ def plan_tiles(scene_h: int, scene_w: int, tile: int = 384, halo: int = 32,
     assert tile % multiple == 0 and halo % multiple == 0
 
     def extent(origin: int, core: int, scene: int) -> tuple[int, int]:
-        # tile size: core + halos rounded up to the stride multiple, capped
-        # at the largest multiple that fits the scene (or the scene itself)
-        want = -(-(core + 2 * halo) // multiple) * multiple
+        # UNIFORM tile size: always tile + 2*halo (capped at the scene),
+        # independent of the core — edge tiles shift their origin inward and
+        # absorb the slack as extra halo context.  One tile shape per scene
+        # axis ⇒ ONE jit/Mosaic compile for the whole scene (a ragged edge
+        # shape costs a full ~3 min recompile of the fused pipeline per
+        # distinct shape — measured at 2560²: 4 shapes ≈ 10 min of the
+        # 14 min wall; NOTES round-4).
+        want = tile + 2 * halo
         cap = max((scene // multiple) * multiple, -(-core // multiple) * multiple)
         size = min(want, cap, scene if scene < multiple else cap)
         size = min(max(size, core), scene)

@@ -169,6 +169,13 @@ def test_tiling_partition_and_stitch():
     # identity "prediction" stitches back exactly
     outs = [tiling.extract(scene, t) for t in tiles]
     np.testing.assert_array_equal(tiling.stitch(tiles, outs, 200, 300), scene)
+    # uniform tile extents: ragged edge cores must NOT produce extra tile
+    # shapes — every distinct shape costs a full jit/Mosaic recompile of the
+    # tile forward (~3 min at production geometry; NOTES round-4)
+    assert len({(t.height, t.width) for t in tiles}) == 1
+    for sh, sw in ((2560, 2560), (2000, 1500)):
+        big = tiling.plan_tiles(sh, sw, tile=384, halo=32)
+        assert {(t.height, t.width) for t in big} == {(448, 448)}, (sh, sw)
 
 
 @pytest.mark.parametrize("batch_size", [1, 2])
