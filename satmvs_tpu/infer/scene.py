@@ -198,15 +198,23 @@ def predict_scene(
         if progress:
             progress(done, len(tiles))
 
-    # double-buffered: prep+dispatch chunk i+1 while the device runs chunk i
+    # double-buffered: prep+dispatch chunk i+1 while the device runs chunk i.
+    # chunk_marks records per-chunk wall deltas at collect completion — the
+    # first entry carries the jit compile, the rest are steady-state
+    # (separating compile from execution in the stats record).
     pending = None
+    chunk_marks: list[float] = []
+    t_mark = _time.perf_counter()
     for chunk in chunks:
         out = dispatch(chunk)
         if pending is not None:
             collect(*pending)
+            chunk_marks.append(_time.perf_counter() - t_mark)
+            t_mark = _time.perf_counter()
         pending = (chunk, out)
     if pending is not None:
         collect(*pending)
+        chunk_marks.append(_time.perf_counter() - t_mark)
 
     if stats is not None:
         stats.update(
@@ -215,6 +223,7 @@ def predict_scene(
             readback_s=t_read,
             n_tiles=len(tiles),
             n_chunks=len(chunks),
+            chunk_s=chunk_marks,
         )
 
     depth = tiling.stitch(tiles, depth_outs, scene_h, scene_w)

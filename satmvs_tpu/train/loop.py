@@ -73,8 +73,15 @@ def resolve_sweep_stencil(cfg: Config, sample_batch: dict) -> int:
 
 
 def create_model_and_state(cfg: Config, sample_batch: dict, steps_per_epoch: int,
-                           rng: Optional[jax.Array] = None):
-    """Build the configured model and initialize TrainState from one batch."""
+                           rng: Optional[jax.Array] = None,
+                           abstract_init: bool = False):
+    """Build the configured model and initialize TrainState from one batch.
+
+    abstract_init=True builds the state TEMPLATE via jax.eval_shape + zeros
+    instead of executing the init forward — for restore paths (the predict
+    CLIs), where a real init at production tile shapes costs a full ~3 min
+    device compile just to produce parameters the checkpoint immediately
+    overwrites (params are image/D-shape-independent)."""
     import os
 
     model = build_model(
@@ -95,7 +102,16 @@ def create_model_and_state(cfg: Config, sample_batch: dict, steps_per_epoch: int
     )
     rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
     nb = numeric_batch(sample_batch)
-    variables = model.init(rng, nb["imgs"], nb["cams"], nb["depth_values"], train=False)
+    if abstract_init:
+        shapes = jax.eval_shape(
+            lambda i, c, d: model.init(rng, i, c, d, train=False),
+            nb["imgs"], nb["cams"], nb["depth_values"],
+        )
+        variables = jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), shapes,
+        )
+    else:
+        variables = model.init(rng, nb["imgs"], nb["cams"], nb["depth_values"], train=False)
     tx = make_optimizer(cfg, steps_per_epoch)
     state = TrainState(
         params=variables["params"],

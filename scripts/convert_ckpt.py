@@ -23,6 +23,12 @@ if os.environ.get("SATMVS_PLATFORM"):
 
     jax.config.update("jax_platforms", os.environ["SATMVS_PLATFORM"])
 
+# persistent XLA/Mosaic compile cache: without it EVERY process pays the full
+# jit compile (~3 min at production tile shapes — measured; NOTES round-4)
+from satmvs_tpu import cache as _cache
+
+_cache.enable()
+
 
 def main() -> None:
     p = argparse.ArgumentParser()
@@ -52,7 +58,7 @@ def main() -> None:
     # standard TrainState (fresh optimizer — the reference's RMSprop moments
     # are architecture-layout-specific and not carried over)
     batch = numeric_batch(synthetic.make_batch(1, 32, 32, seed=0))
-    model, state, tx = create_model_and_state(cfg, batch, steps_per_epoch=1)
+    model, state, tx = create_model_and_state(cfg, batch, steps_per_epoch=1, abstract_init=True)
     params = jax.tree.map(jnp.asarray, params)
     batch_stats = jax.tree.map(jnp.asarray, batch_stats)
     state = TrainState(

@@ -25,6 +25,12 @@ if os.environ.get("SATMVS_PLATFORM"):
 
     jax.config.update("jax_platforms", os.environ["SATMVS_PLATFORM"])
 
+# persistent XLA/Mosaic compile cache: without it EVERY process pays the full
+# jit compile (~3 min at production tile shapes — measured; NOTES round-4)
+from satmvs_tpu import cache as _cache
+
+_cache.enable()
+
 
 def main() -> None:
     import argparse
@@ -104,7 +110,7 @@ def main() -> None:
                   "set SATMVS_FUSED_SWEEP=0 or raise sweep_stencil",
                   file=sys.stderr)
 
-    model, state, _ = create_model_and_state(cfg, first, steps_per_epoch=1)
+    model, state, _ = create_model_and_state(cfg, first, steps_per_epoch=1, abstract_init=True)
     restored, ep = restore_checkpoint(a.loadckpt, state)
     if restored is None:
         raise SystemExit(f"no checkpoint at {a.loadckpt}")

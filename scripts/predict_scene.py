@@ -27,6 +27,12 @@ if os.environ.get("SATMVS_PLATFORM"):
 
     jax.config.update("jax_platforms", os.environ["SATMVS_PLATFORM"])
 
+# persistent XLA/Mosaic compile cache: without it EVERY process pays the full
+# jit compile (~3 min at production tile shapes — measured; NOTES round-4)
+from satmvs_tpu import cache as _cache
+
+_cache.enable()
+
 
 def main() -> None:
     p = argparse.ArgumentParser()
@@ -105,7 +111,7 @@ def main() -> None:
         "out_view": "0", "out_name": "x",
     }
     batch = collate([dummy])
-    model, state, _ = create_model_and_state(cfg, batch, steps_per_epoch=1)
+    model, state, _ = create_model_and_state(cfg, batch, steps_per_epoch=1, abstract_init=True)
     restored, ep = restore_checkpoint(a.loadckpt, state)
     if restored is None:
         raise SystemExit(f"no checkpoint at {a.loadckpt}")
@@ -171,6 +177,14 @@ def main() -> None:
               f"wall {stats['wall_s']:.1f}s, host prep {stats['host_prep_s']:.1f}s "
               f"({share:.0%} of wall; overlapped with device compute), "
               f"readback {stats['readback_s']:.1f}s")
+        cm = stats.get("chunk_s") or []
+        if len(cm) > 1:
+            import numpy as _np
+
+            steady = _np.median(cm[1:])
+            print(f"[scene] first chunk {cm[0]:.1f}s (incl. jit compile), "
+                  f"steady-state {steady:.2f}s/chunk "
+                  f"({steady / max(stats['n_tiles'] // stats['n_chunks'], 1):.2f}s/tile)")
     formats.save_pfm(a.out, depth.astype(np.float32))
     formats.save_pfm(os.path.splitext(a.out)[0] + "_prob.pfm", conf.astype(np.float32))
 

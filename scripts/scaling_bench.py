@@ -20,6 +20,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# persistent XLA/Mosaic compile cache: without it EVERY process pays the full
+# jit compile (~3 min at production tile shapes — measured; NOTES round-4)
+from satmvs_tpu import cache as _cache
+
+_cache.enable()
+
 
 def main() -> None:
     p = argparse.ArgumentParser()

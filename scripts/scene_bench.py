@@ -29,6 +29,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# persistent XLA/Mosaic compile cache: without it EVERY process pays the full
+# jit compile (~3 min at production tile shapes — measured; NOTES round-4)
+from satmvs_tpu import cache as _cache
+
+_cache.enable()
+
 
 def seam_metric(depth, tile: int, halo: int, multiple: int = 32):
     """(seam-jump, interior-jump, ratio): mean |adjacent-pixel difference|
@@ -142,8 +148,10 @@ def main() -> None:
     wall = time.time() - t0
     sys.stderr.write(r.stderr[-2000:])
     assert r.returncode == 0, r.stderr[-3000:]
-    stats_line = next((ln for ln in r.stdout.splitlines() if "[scene]" in ln), "")
-    print(stats_line)
+    scene_lines = [ln for ln in r.stdout.splitlines() if "[scene]" in ln]
+    stats_line = scene_lines[0] if scene_lines else ""
+    for ln in scene_lines:
+        print(ln)
     print(f"[scene_bench] CLI wall (incl. compile) {wall:.1f}s")
 
     # ---- score

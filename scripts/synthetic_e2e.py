@@ -30,6 +30,12 @@ if os.environ.get("SATMVS_PLATFORM"):
 
     jax.config.update("jax_platforms", os.environ["SATMVS_PLATFORM"])
 
+# persistent XLA/Mosaic compile cache: without it EVERY process pays the full
+# jit compile (~3 min at production tile shapes — measured; NOTES round-4)
+from satmvs_tpu import cache as _cache
+
+_cache.enable()
+
 
 def main() -> None:
     p = argparse.ArgumentParser()

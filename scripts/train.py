@@ -25,6 +25,12 @@ if os.environ.get("SATMVS_PLATFORM"):
 
     jax.config.update("jax_platforms", os.environ["SATMVS_PLATFORM"])
 
+# persistent XLA/Mosaic compile cache: without it EVERY process pays the full
+# jit compile (~3 min at production tile shapes — measured; NOTES round-4)
+from satmvs_tpu import cache as _cache
+
+_cache.enable()
+
 
 def main() -> None:
     # NaN debugging (SURVEY §5 "race/NaN detection"): fail fast on any NaN
@@ -74,7 +80,7 @@ def main() -> None:
 
         el = Loader(make(testpath, "test"), cfg.batch_size)
         first = next(iter(el))
-        model, state, _ = create_model_and_state(cfg, first, steps_per_epoch=1)
+        model, state, _ = create_model_and_state(cfg, first, steps_per_epoch=1, abstract_init=True)
         restored, ep = restore_checkpoint(workdir if cfg.loadckpt is None else cfg.loadckpt, state)
         if restored is None:
             raise SystemExit(f"no checkpoint found under {workdir}")

@@ -240,6 +240,6 @@ def test_whu_tlc_layout_journey(tmp_path):
     ])
     assert r.returncode == 0, r.stderr[-3000:]
     assert os.path.exists(
-        os.path.join(testpath, "mvs_results", "2", "init", "block1000.pfm")
+        os.path.join(testpath, "mvs_results", "2", "init", "block0000.pfm")
     )
     assert glob.glob(os.path.join(testpath, "mvs_results", "*_dsm.pfm"))
