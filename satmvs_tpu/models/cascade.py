@@ -39,6 +39,13 @@ from ..ops.warp import QcWarpCams, RpcWarpCams, homo_warp, rpc_warp
 
 STAGE_SCALES = {3: (4, 2, 1), 2: (4, 1), 1: (4,)}
 
+# Emergency kill-switch for the fused sweep kernel, read ONCE at import —
+# never inside traced code (a trace-time env read is silently cached by the
+# first jitted step; same fix as the fused_red/train_fused_sweep fields).
+import os as _os
+
+_FUSED_SWEEP_ENABLED = _os.environ.get("SATMVS_FUSED_SWEEP", "1") != "0"
+
 
 def stage_hypotheses(
     nd: int,
@@ -89,11 +96,9 @@ def build_stage_volume(geo_model: str, feats, cams, hyps, fused: bool = False,
     (≤0.02 px vs exact — test-gated), a deliberate trade accepted for both
     train and inference.
     """
-    import os
-
     is_qc = geo_model == "rpc" and isinstance(cams, QcWarpCams)
     if (geo_model == "rpc" and fused and jax.default_backend() == "tpu"
-            and os.environ.get("SATMVS_FUSED_SWEEP", "1") != "0"):
+            and _FUSED_SWEEP_ENABLED):
         from ..ops.coarse_coords import rpc_sweep_coords_coarse
         from ..ops.pallas.sweep_variance import sweep_variance
         from ..ops.warp import rpc_sweep_coords_qc
