@@ -223,26 +223,40 @@ def bench_plane_sweep() -> float:
     return views_per_s
 
 
+_RED_SETUP: dict = {}
+
+
+def _red_setup():
+    """(model, variables, batch) for the flagship 384x768 bench — memoized
+    (model.init at the patch is a full forward; stream/forward share it)."""
+    if not _RED_SETUP:
+        import os
+
+        import jax
+
+        from satmvs_tpu.data import synthetic
+        from satmvs_tpu.models import CascadeREDNet
+        from satmvs_tpu.train.loop import numeric_batch
+
+        batch = numeric_batch(
+            synthetic.make_batch(batch_size=1, width=PATCH_W, height=PATCH_H,
+                                 seed=0)
+        )
+        fused = (None if "SATMVS_FUSED_RED" not in os.environ
+                 else os.environ["SATMVS_FUSED_RED"] != "0")
+        model = CascadeREDNet(geo_model="rpc", ndepths=(64, 32, 8),
+                              fused_red=fused)
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            batch["imgs"], batch["cams"], batch["depth_values"], train=False,
+        )
+        _RED_SETUP.update(model=model, variables=variables, batch=batch)
+    return _RED_SETUP["model"], _RED_SETUP["variables"], _RED_SETUP["batch"]
+
+
 def bench_model_forward() -> float:
     """End-to-end CascadeRED forward images/s at the 384x768 patch."""
-    import jax
-
-    from satmvs_tpu.data import synthetic
-    from satmvs_tpu.models import CascadeREDNet
-    from satmvs_tpu.train.loop import numeric_batch
-
-    batch = numeric_batch(
-        synthetic.make_batch(batch_size=1, width=PATCH_W, height=PATCH_H, seed=0)
-    )
-    import os
-
-    fused = (None if "SATMVS_FUSED_RED" not in os.environ
-             else os.environ["SATMVS_FUSED_RED"] != "0")
-    model = CascadeREDNet(geo_model="rpc", ndepths=(64, 32, 8), fused_red=fused)
-    variables = model.init(
-        jax.random.PRNGKey(0),
-        batch["imgs"], batch["cams"], batch["depth_values"], train=False,
-    )
+    model, variables, batch = _red_setup()
 
     import jax.numpy as jnp
 
@@ -369,22 +383,11 @@ def bench_stream_ratio(full_forward_ms: float) -> dict:
     (same-process ratio; the per-process record is scripts/stream_bench.py)."""
     from functools import partial
 
-    import jax
     import jax.numpy as jnp
 
-    from satmvs_tpu.data import synthetic
     from satmvs_tpu.infer.predict import streaming_red_forward
-    from satmvs_tpu.models import CascadeREDNet
-    from satmvs_tpu.train.loop import numeric_batch
 
-    batch = numeric_batch(
-        synthetic.make_batch(batch_size=1, width=PATCH_W, height=PATCH_H, seed=0)
-    )
-    model = CascadeREDNet(geo_model="rpc", ndepths=(64, 32, 8))
-    variables = model.init(
-        jax.random.PRNGKey(0),
-        batch["imgs"], batch["cams"], batch["depth_values"], train=False,
-    )
+    _, variables, batch = _red_setup()
     fwd = partial(streaming_red_forward, variables, geo_model="rpc",
                   ndepths=(64, 32, 8), slab=8)
     imgs = jnp.asarray(batch["imgs"])

@@ -60,7 +60,10 @@ def main() -> None:
         synthetic.make_batch(batch_size=a.devices, width=w, height=h, seed=0)
     )
     cfg = Config(model=a.model, geo_model="rpc", ndepths=nd)
-    model, state, tx = create_model_and_state(cfg, batch, steps_per_epoch=100)
+    # abstract_init: the step is only lowered/compiled, never executed —
+    # parameter VALUES are irrelevant, so skip the real init forward
+    model, state, tx = create_model_and_state(cfg, batch, steps_per_epoch=100,
+                                              abstract_init=True)
     step = make_train_step(model, tx, tuple(cfg.dlossw))
 
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(state.params))

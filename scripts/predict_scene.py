@@ -182,9 +182,11 @@ def main() -> None:
             import numpy as _np
 
             steady = _np.median(cm[1:])
+            # per-tile divisor = the dispatched chunk size (every steady
+            # chunk runs batch_tiles forwards; a ragged tail is padded)
             print(f"[scene] first chunk {cm[0]:.1f}s (incl. jit compile), "
                   f"steady-state {steady:.2f}s/chunk "
-                  f"({steady / max(stats['n_tiles'] // stats['n_chunks'], 1):.2f}s/tile)")
+                  f"({steady / max(batch_tiles, 1):.2f}s/tile)")
     formats.save_pfm(a.out, depth.astype(np.float32))
     formats.save_pfm(os.path.splitext(a.out)[0] + "_prob.pfm", conf.astype(np.float32))
 

@@ -90,7 +90,11 @@ def main() -> None:
         batch = numeric_batch(synthetic.make_batch(a.batch, w, h, seed=0))
         imgs = jnp.asarray(batch["imgs"])
         dvals = jnp.asarray(batch["depth_values"])
-        model = CascadeREDNet(geo_model="rpc", ndepths=nd)
+        # honor the SATMVS_FUSED_RED A/B probe for direct construction (the
+        # env override lives in build_model; constructors must opt in)
+        fused = (None if "SATMVS_FUSED_RED" not in os.environ
+                 else os.environ["SATMVS_FUSED_RED"] != "0")
+        model = CascadeREDNet(geo_model="rpc", ndepths=nd, fused_red=fused)
         # init with a tiny-D clone: the param tree is D-independent and a
         # full-volume init at e.g. D=256 would do the giant forward just to
         # build parameters
