@@ -71,6 +71,9 @@ def main() -> None:
                         "reference's grid_sample convention + hypothesis "
                         "chain so converted checkpoints predict its answers")
     p.add_argument("--fuse", action="store_true", help="fuse views into a DSM")
+    p.add_argument("--color", action="store_true",
+                   help="also write colorized PNGs (init/color, prob/color — "
+                        "the reference's sketched visualization surface)")
     p.add_argument("--p_ratio", type=float, default=1.0)
     p.add_argument("--d_ratio", type=float, default=2.5)
     p.add_argument("--geo_consist_num", type=int, default=1)
@@ -152,6 +155,21 @@ def main() -> None:
             d = os.path.join(out_root, view, sub)
             os.makedirs(d, exist_ok=True)
             formats.save_pfm(os.path.join(d, f"{name}.pfm"), arr)
+        if a.color:
+            # colorized PNGs next to the PFMs — the visualization surface the
+            # reference predict.py sketches at init/color, prob/color
+            # (ref predict.py:126-128,143-144: plt.imsave left commented out)
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            cd = os.path.join(out_root, view, "init", "color")
+            pd = os.path.join(out_root, view, "prob", "color")
+            os.makedirs(cd, exist_ok=True)
+            os.makedirs(pd, exist_ok=True)
+            plt.imsave(os.path.join(cd, f"{name}.png"), depth)
+            plt.imsave(os.path.join(pd, f"{name}_prob.png"), prob)
         print(f"iter {i}/{len(ld)} view={view} {name} time={time.time() - t1:.3f}s")
         per_scene.setdefault(name, {})[view] = (depth, prob, i)
 

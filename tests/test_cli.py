@@ -63,10 +63,16 @@ def test_train_cli_and_predict_cli(tmp_path):
         f"--dataset_root={root}", f"--loadckpt={workdir}",
         "--ndepths", "8,4,4", "--fuse", "--geo_consist_num", "1",
         "--d_ratio", "50", "--p_ratio", "5", "--confidence_ratio", "0.0",
+        "--color",
     ])
     assert r.returncode == 0, r.stderr[-3000:]
     assert os.path.exists(os.path.join(root, "mvs_results", "2", "init", "scene0000.pfm"))
     assert os.path.exists(os.path.join(root, "mvs_results", "2", "prob", "scene0000.pfm"))
+    # --color writes the reference's sketched visualization surface
+    assert os.path.exists(
+        os.path.join(root, "mvs_results", "2", "init", "color", "scene0000.png"))
+    assert os.path.exists(
+        os.path.join(root, "mvs_results", "2", "prob", "color", "scene0000_prob.png"))
     import glob
 
     assert glob.glob(os.path.join(root, "mvs_results", "*_dsm.pfm")), os.listdir(

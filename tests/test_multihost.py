@@ -93,3 +93,33 @@ def test_two_process_cluster_matches_single_process(tmp_path):
     for key in ("loss", "abs_depth_error"):
         np.testing.assert_allclose(results[0][key], ref[key], rtol=2e-4,
                                    err_msg=key)
+
+
+@pytest.mark.slow
+def test_collectives_report_cli():
+    """The wire-level scaling-evidence CLI (scripts/collectives_report.py)
+    compiles a data-parallel step and prints a collective inventory whose
+    all-reduce total equals the parameter bytes (the only cross-device
+    traffic of a data-parallel step; VERDICT r3 #7)."""
+    import os
+    import re
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    r = subprocess.run(
+        [sys.executable, "scripts/collectives_report.py", "--devices", "2",
+         "--size", "64x64", "--model", "casmvs", "--ndepths", "8,8,8"],
+        cwd=root, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    m = re.search(r"params (\d+) \(", r.stdout)
+    n_params = int(m.group(1))
+    m = re.search(r"^all-reduce\s+\d+\s+(\d+)", r.stdout, re.M)
+    assert m, r.stdout
+    total = int(m.group(1))
+    # gradient all-reduce = 4*params, plus the (KB-scale) BatchNorm
+    # batch-stat reductions of the sharded batch
+    assert 4 * n_params <= total <= 4 * n_params + 65536, (total, n_params)
