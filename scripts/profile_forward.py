@@ -28,8 +28,29 @@ if os.environ.get("SATMVS_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["SATMVS_PLATFORM"])
 
 
+def _bucket(name: str) -> str:
+    """Classify an XLA-op trace name into a cost-map pool (the NOTES.md
+    cost maps use exactly these buckets)."""
+    import re
+
+    if re.match(r"^(copy|bitcast|transpose)", name):
+        return "copies/relayout"
+    if "REDRegularizer" in name:
+        return "pallas: RED pipeline"
+    if name.startswith("vmap__") or "sweep" in name:
+        return "pallas: sweep kernels"
+    if re.match(r"^(convolution|conv|dot)", name):
+        return "XLA convs/dots"
+    return "XLA elementwise/fusions/other"
+
+
 def aggregate_trace(trace_dir: str, top: int = 25):
-    """Parse the newest chrome trace under trace_dir → per-op totals (device)."""
+    """Parse the newest chrome trace under trace_dir → (device_total, per-op
+    rows, counts, bucket table).  Only the device 'XLA Ops' thread is
+    counted (module/step container rows would double count); each bucket
+    row carries (time_us, op_count, hbo_bytes) — bytes from the profiler's
+    per-op `bytes_accessed` (custom calls report 0: their traffic is
+    in-kernel DMA the profiler cannot see)."""
     paths = sorted(glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
                              recursive=True))
     if not paths:
@@ -37,12 +58,15 @@ def aggregate_trace(trace_dir: str, top: int = 25):
     with gzip.open(paths[-1]) as f:
         trace = json.load(f)
     events = trace.get("traceEvents", [])
-    proc = {}
+    proc, tname = {}, {}
     for e in events:
         if e.get("ph") == "M" and e.get("name") == "process_name":
             proc[e["pid"]] = e["args"].get("name", str(e["pid"]))
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tname[(e["pid"], e["tid"])] = e["args"].get("name", "")
     agg = collections.defaultdict(float)
     cnt = collections.Counter()
+    buckets = collections.defaultdict(lambda: [0.0, 0, 0.0])
     device_total = 0.0
     for e in events:
         if e.get("ph") != "X":
@@ -50,14 +74,19 @@ def aggregate_trace(trace_dir: str, top: int = 25):
         pname = proc.get(e["pid"], "")
         if "TPU" not in pname and "device" not in pname.lower():
             continue
-        name = e["name"]
-        if name.startswith("jit_"):
-            device_total += e.get("dur", 0)
+        if tname.get((e["pid"], e["tid"]), "") != "XLA Ops":
             continue
-        agg[name] += e.get("dur", 0)
+        name = e["name"]
+        dur = e.get("dur", 0)
+        device_total += dur
+        agg[name] += dur
         cnt[name] += 1
+        b = buckets[_bucket(name)]
+        b[0] += dur
+        b[1] += 1
+        b[2] += float(e.get("args", {}).get("bytes_accessed", 0) or 0)
     rows = sorted(agg.items(), key=lambda kv: -kv[1])[:top]
-    return device_total, rows, cnt
+    return device_total, rows, cnt, dict(buckets)
 
 
 def main() -> None:
@@ -119,9 +148,13 @@ def main() -> None:
         for i in range(a.iters):
             fwd(jnp.float32(i + 1)).block_until_ready()
 
-    device_total, rows, cnt = aggregate_trace(trace_dir)
+    device_total, rows, cnt, buckets = aggregate_trace(trace_dir)
     print(f"device total: {device_total / 1e3 / a.iters:.1f} ms/forward "
           f"({a.model} {a.size}, ndepths {a.ndepths})")
+    print("cost map (pool, ms, ops, HBM GB — custom-call DMA not visible):")
+    for pool, (dur, n, by) in sorted(buckets.items(), key=lambda kv: -kv[1][0]):
+        print(f"  {dur / 1e3 / a.iters:7.1f} ms {n // a.iters:6d} ops "
+              f"{by / a.iters / 1e9:6.2f} GB  {pool}")
     print(f"{'ms/fwd':>9}  {'count':>6}  op")
     for name, dur in rows:
         print(f"{dur / 1e3 / a.iters:9.2f}  {cnt[name] // a.iters:6d}  {name[:70]}")
