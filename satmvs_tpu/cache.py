@@ -16,10 +16,35 @@ import os
 DEFAULT_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache")
 
 
+def _host_tag() -> str:
+    """Fingerprint of the host CPU feature set.
+
+    XLA:CPU AOT cache entries embed the COMPILE machine's feature flags;
+    loading an entry produced on a different microarchitecture SIGILLs /
+    segfaults (measured: a full-suite crash in
+    compilation_cache.get_executable_and_time deserializing a stale entry
+    from an earlier round's host).  Partitioning the cache dir by a flags
+    hash makes entries from other hosts invisible instead of fatal; TPU
+    entries are unaffected (device code, but the partition is harmless)."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:10]
+
+
 def enable(path: str | None = None, min_compile_secs: float = 1.0) -> str:
     import jax
 
     path = path or os.environ.get("SATMVS_COMPILE_CACHE", DEFAULT_DIR)
+    path = os.path.join(path, _host_tag())
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", min_compile_secs)
     return path
