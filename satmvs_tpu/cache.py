@@ -41,8 +41,19 @@ def _host_tag() -> str:
 
 
 def enable(path: str | None = None, min_compile_secs: float = 1.0) -> str:
+    """Enable the persistent compile cache — TPU backends only.
+
+    On the CPU backend the cache is a net LOSS and unsafe: XLA:CPU AOT
+    deserialization segfaults on this image for the big 8-virtual-device
+    SPMD programs (reproduced 3x at the same test, fresh cache dir —
+    the 'Loading XLA:CPU AOT result ... could lead to SIGILL' warnings are
+    fatal there), and CPU compiles are cheap anyway.  The cache's entire
+    value is the multi-minute TPU Mosaic kernel compiles."""
     import jax
 
+    platforms = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+    if os.environ.get("SATMVS_PLATFORM") == "cpu" or "cpu" in str(platforms):
+        return ""
     path = path or os.environ.get("SATMVS_COMPILE_CACHE", DEFAULT_DIR)
     path = os.path.join(path, _host_tag())
     jax.config.update("jax_compilation_cache_dir", path)
