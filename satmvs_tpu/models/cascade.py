@@ -82,7 +82,7 @@ def stage_hypotheses(
 
 def build_stage_volume(geo_model: str, feats, cams, hyps, fused: bool = False,
                        stencil: int = 8, convention: str = "exact",
-                       layout: str = "nhwc"):
+                       layout: str = "nhwc", volume_dtype=None):
     """(B, V, h, w, C) features + cameras + (B, D, h, w) hypotheses →
     variance cost volume (batch via vmap): (B, D, h, w, C), or (B, D, h, C, w)
     with layout="hcw" — the Pallas kernels' native layout, which the
@@ -137,7 +137,8 @@ def build_stage_volume(geo_model: str, feats, cams, hyps, fused: bool = False,
                 ref,
                 feats_b[1:],
                 lambda sf, s: rpc_warp(sf, cams_b, s, hyps_b, stencil=stencil,
-                                       convention=convention, layout=layout),
+                                       convention=convention, layout=layout,
+                                       out_dtype=volume_dtype),
             )
 
     else:
@@ -147,7 +148,8 @@ def build_stage_volume(geo_model: str, feats, cams, hyps, fused: bool = False,
                 feats_b[0],
                 feats_b[1:],
                 lambda sf, s: homo_warp(sf, projs_b[s + 1], projs_b[0], hyps_b,
-                                        stencil=stencil, convention=convention),
+                                        stencil=stencil, convention=convention,
+                                        out_dtype=volume_dtype),
             )
             # pinhole warp has no native-hcw path; transpose for consumers
             return jnp.swapaxes(vol, 2, 3) if layout == "hcw" else vol
@@ -182,6 +184,14 @@ class CascadeModel(nn.Module):
     # fewer MXU passes + half the HBM traffic.  Params, the GRU recurrence,
     # the variance moments, and all Pallas kernels stay fp32.
     compute_dtype: object = None
+    # HBM storage dtype of the per-view warped volumes on the gather-path
+    # sweep (the training path) — jnp.bfloat16 halves the sweep's volume
+    # transport: the gather kernel stores bf16 (f32 tap accumulation, one
+    # cast at the store), the variance moments upcast at read and accumulate
+    # f32, and the backward's volume cotangents travel bf16 into the f32
+    # scatter.  Sampling math, moments, the variance volume, and all
+    # gradients stay f32.  None = f32 (the fp32-exact default).
+    volume_dtype: object = None
     # Tap-stencil half-width of the Pallas sweep kernels (the fused inference
     # sweep AND the per-view training gathers + their scatter adjoints); 8 is
     # safe for any plausible satellite geometry, 4 is ~2x faster and exact
@@ -299,6 +309,7 @@ class CascadeModel(nn.Module):
                 stencil=self.sweep_stencil,
                 convention="torch" if self.torch_compat else "exact",
                 layout=vol_layout,
+                volume_dtype=self.volume_dtype,
             )
             if self.volume_partition is not None:
                 # specs name axes (B, D, H, ...) — H is index 2 in BOTH

@@ -53,8 +53,12 @@ def variance_cost_volume(
     vol_sq = 0.0
     local_count = 0
     for wv in local:
-        vol_sum = vol_sum + wv
-        vol_sq = vol_sq + wv * wv
+        # upcast at read: with bf16 volume transport (ops/warp.rpc_warp
+        # out_dtype) the warped volumes arrive half-width; moments always
+        # accumulate f32 (a no-op cast for the default f32 path)
+        w32 = wv.astype(jnp.float32)
+        vol_sum = vol_sum + w32
+        vol_sq = vol_sq + w32 * w32
         local_count += 1
     if ref_feat is not None:
         vol_sum = vol_sum + ref_feat[None]

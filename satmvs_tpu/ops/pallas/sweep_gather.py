@@ -313,7 +313,7 @@ def _gather_taps_dyn(geom, patch_at, out_ref, vspan, rc, wpp,
 
 def _sweep_gather_kernel(
     rs_ref, cs_ref, rc_ref, vs_ref, hs_ref, x_ref, y_ref, src_hbm, out_ref,
-    patch_ref, sems,
+    patch_ref, acc_ref, sems,
     *, kv: int, ks: int, height: int, width: int, channels: int,
     n_d: int, n_tiles: int,
 ):
@@ -361,27 +361,37 @@ def _sweep_gather_kernel(
     def patch_at(dv):
         return patch_ref[slot, pl.ds(dv, bh)]         # (bh, C, wpp)
 
+    # Non-f32 outputs (bf16 volume transport): accumulate taps in the f32
+    # VMEM scratch and cast once at the store, so the result is exactly
+    # f32_result.astype(dtype) — never a low-precision accumulation (the
+    # dynamic-row path accumulates across its fori_loop through the ref).
+    use_acc = out_ref.dtype != jnp.float32
+    dst = acc_ref if use_acc else out_ref
     kw = dict(bh=bh, channels=channels, width=width)
     dispatch_taps(
         lambda kv_, ks_: _gather_taps_static(
-            geom, pltpu.roll(patch_ref[slot], wpp - rc, 2), out_ref,
+            geom, pltpu.roll(patch_ref[slot], wpp - rc, 2), dst,
             kv_=kv_, ks_=ks_, **kw),
         lambda ks_t: _gather_taps_dyn(
-            geom, patch_at, out_ref, vs_ref[di, t], rc, wpp, ks_t=ks_t, **kw),
+            geom, patch_at, dst, vs_ref[di, t], rc, wpp, ks_t=ks_t, **kw),
         vs_ref[di, t], hs_ref[di, t], kv, ks,
     )
+    if use_acc:
+        out_ref[0] = acc_ref[0].astype(out_ref.dtype)
 
 
 def _sweep_gather_impl(src: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
-                       kv: int = 8, ks: int = 8, interpret: bool = False):
+                       kv: int = 8, ks: int = 8, interpret: bool = False,
+                       out_dtype=None):
     """NHWC wrapper over `_sweep_gather_impl_hcw`: (D, H, W, C)."""
     return jnp.swapaxes(
-        _sweep_gather_impl_hcw(src, xs, ys, kv, ks, interpret), 2, 3
+        _sweep_gather_impl_hcw(src, xs, ys, kv, ks, interpret, out_dtype), 2, 3
     )
 
 
 def _sweep_gather_impl_hcw(src: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
-                           kv: int = 8, ks: int = 8, interpret: bool = False):
+                           kv: int = 8, ks: int = 8, interpret: bool = False,
+                           out_dtype=None):
     """Bilinear-sample `src` (H, W, C) at plane-sweep coords (D, H, W).
 
     Returns warped (D, H, C, W) — the kernel's NATIVE layout (W in lanes, C
@@ -395,12 +405,13 @@ def _sweep_gather_impl_hcw(src: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
     """
     h, w, c = src.shape
     d = xs.shape[0]
+    out_dtype = jnp.float32 if out_dtype is None else out_dtype
     assert h % BLOCK_ROWS == 0, f"height {h} not a multiple of {BLOCK_ROWS}"
     if d > _MAX_D_PER_CALL:  # scalar-prefetch smem cap (sweep_variance.py)
         return jnp.concatenate([
             _sweep_gather_impl_hcw(src, xs[i : i + _MAX_D_PER_CALL],
                                    ys[i : i + _MAX_D_PER_CALL],
-                                   kv, ks, interpret)
+                                   kv, ks, interpret, out_dtype)
             for i in range(0, d, _MAX_D_PER_CALL)
         ], axis=0)
 
@@ -434,10 +445,11 @@ def _sweep_gather_impl_hcw(src: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
                     (2, BLOCK_ROWS + kv, c, _round_up(w + ks + 128, 128)),
                     jnp.float32,
                 ),
+                pltpu.VMEM((1, BLOCK_ROWS, c, w), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((d, h, c, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((d, h, c, w), out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
@@ -474,7 +486,9 @@ def _sweep_scatter_kernel(
                      kv=kv, ks=ks, height=height, width=width)
     kh, wpp, rc = geom.kh, geom.wpp, geom.rc
 
-    g = g_ref[0]                                      # (BH, C, W)
+    # upcast at read — bf16 cotangents (volume transport) cost half the HBM
+    # read; all tap math and the accumulator stay f32
+    g = g_ref[0].astype(jnp.float32)                  # (BH, C, W)
 
     # stage the tile's tap contributions in window coordinates
     win_ref[...] = jnp.zeros_like(win_ref)
@@ -583,14 +597,14 @@ def _bilinear_scatter(g: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
     c = g.shape[-1]
     x = xs.reshape(-1)
     y = ys.reshape(-1)
-    gf = g.reshape(-1, c)
+    gf = g.reshape(-1, c).astype(jnp.float32)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     wx = x - x0
     wy = y - y0
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
-    out = jnp.zeros((height * width, c), g.dtype)
+    out = jnp.zeros((height * width, c), jnp.float32)
     for dy, dx, wgt in (
         (0, 0, (1 - wy) * (1 - wx)),
         (0, 1, (1 - wy) * wx),
@@ -605,10 +619,10 @@ def _bilinear_scatter(g: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
     return out.reshape(height, width, c)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def sweep_gather(src: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
                  kv: int = 8, ks: int = 8, interpret: bool = False,
-                 layout: str = "nhwc"):
+                 layout: str = "nhwc", out_dtype=None):
     """Differentiable fused plane-sweep bilinear sample (see module docs).
 
     Forward runs the Pallas stencil kernel; backward scatters cotangents into
@@ -619,18 +633,23 @@ def sweep_gather(src: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
     layout="hcw" returns (D, H, C, W) — the kernel's native layout — and
     takes the cotangent in the same layout, skipping the volume-sized
     relayout copies at both kernel boundaries; src and its cotangent stay
-    (H, W, C) either way."""
+    (H, W, C) either way.
+
+    out_dtype=bfloat16 stores the warped volume (and receives its cotangent)
+    in bf16 — halving the sweep's HBM volume transport; tap accumulation in
+    the forward, and all scatter math in the backward, stay f32 (the output
+    is exactly the f32 result cast once).  The source cotangent is f32."""
     if layout == "hcw":
-        return _sweep_gather_impl_hcw(src, xs, ys, kv, ks, interpret)
-    return _sweep_gather_impl(src, xs, ys, kv, ks, interpret)
+        return _sweep_gather_impl_hcw(src, xs, ys, kv, ks, interpret, out_dtype)
+    return _sweep_gather_impl(src, xs, ys, kv, ks, interpret, out_dtype)
 
 
-def _sweep_gather_fwd(src, xs, ys, kv, ks, interpret, layout):
-    out = sweep_gather(src, xs, ys, kv, ks, interpret, layout)
+def _sweep_gather_fwd(src, xs, ys, kv, ks, interpret, layout, out_dtype):
+    out = sweep_gather(src, xs, ys, kv, ks, interpret, layout, out_dtype)
     return out, (src.shape, xs, ys)
 
 
-def _sweep_gather_bwd(kv, ks, interpret, layout, residuals, g):
+def _sweep_gather_bwd(kv, ks, interpret, layout, out_dtype, residuals, g):
     (h, w, c), xs, ys = residuals
     acc_bytes = (h + 2 * VPAD) * c * (w + 2 * PAD) * 4
     if h % BLOCK_ROWS == 0 and acc_bytes <= _SCATTER_VMEM_CAP:

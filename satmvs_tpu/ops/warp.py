@@ -159,7 +159,7 @@ def _use_pallas_gather(height: int) -> bool:
 
 def rpc_warp(src_feat: jnp.ndarray, cams: RpcWarpCams, src_index, depth_values: jnp.ndarray,
              method: str = "auto", coords: str = "auto", stencil: int = 8,
-             convention: str = "exact", layout: str = "nhwc"):
+             convention: str = "exact", layout: str = "nhwc", out_dtype=None):
     """RPC plane-sweep warp of one source feature map.
 
     src_feat: (H, W, C) — the source view's features at this stage's scale.
@@ -178,6 +178,11 @@ def rpc_warp(src_feat: jnp.ndarray, cams: RpcWarpCams, src_index, depth_values: 
     layout: "nhwc" returns (D, H, W, C); "hcw" returns (D, H, C, W) — the
             Pallas kernels' native layout, sparing the volume-sized relayout
             copies when the consumer (the row-packed RED pipeline) accepts it.
+    out_dtype: storage dtype of the warped volume (None = f32).  bfloat16
+            halves the sweep's HBM volume transport (forward store and the
+            backward cotangent read); all sampling/scatter math stays f32
+            (ops/pallas/sweep_gather.py) and the moment consumers accumulate
+            f32 (ops/cost_volume.py).
     Returns the warped volume.  TPU analog of /root/reference/modules/warping.py:310-365.
     """
     h, w, _ = src_feat.shape
@@ -205,8 +210,10 @@ def rpc_warp(src_feat: jnp.ndarray, cams: RpcWarpCams, src_index, depth_values: 
         from .pallas.sweep_gather import sweep_gather
 
         return sweep_gather(src_feat, x_src, y_src, kv=stencil, ks=stencil,
-                            layout=layout)
+                            layout=layout, out_dtype=out_dtype)
     out = bilinear_sample(src_feat, x_src, y_src)
+    if out_dtype is not None:
+        out = out.astype(out_dtype)
     return jnp.swapaxes(out, 2, 3) if layout == "hcw" else out
 
 
@@ -326,7 +333,8 @@ def homo_sweep_coords(src_proj: jnp.ndarray, ref_proj: jnp.ndarray, depth_values
 
 
 def homo_warp(src_feat: jnp.ndarray, src_proj: jnp.ndarray, ref_proj: jnp.ndarray, depth_values: jnp.ndarray,
-              method: str = "auto", stencil: int = 8, convention: str = "exact"):
+              method: str = "auto", stencil: int = 8, convention: str = "exact",
+              out_dtype=None):
     """Homography plane-sweep warp: (H, W, C) → (D, H, W, C)."""
     h, w, _ = src_feat.shape
     x_src, y_src = jax.lax.stop_gradient(
@@ -339,8 +347,10 @@ def homo_warp(src_feat: jnp.ndarray, src_proj: jnp.ndarray, ref_proj: jnp.ndarra
     if method == "pallas" or (method == "auto" and _use_pallas_gather(h)):
         from .pallas.sweep_gather import sweep_gather
 
-        return sweep_gather(src_feat, x_src, y_src, kv=stencil, ks=stencil)
-    return bilinear_sample(src_feat, x_src, y_src)
+        return sweep_gather(src_feat, x_src, y_src, kv=stencil, ks=stencil,
+                            out_dtype=out_dtype)
+    out = bilinear_sample(src_feat, x_src, y_src)
+    return out.astype(out_dtype) if out_dtype is not None else out
 
 
 def sweep_coverage_misses(rpcs: np.ndarray, ref_index: int = 0,

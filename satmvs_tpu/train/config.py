@@ -43,6 +43,11 @@ class Config:
     sweep_stencil: int = 0
     # Conv compute dtype ("float32" | "bfloat16"); params/geometry stay fp32.
     compute_dtype: str = "float32"
+    # HBM storage dtype of the per-view warped sweep volumes in training
+    # ("float32" | "bfloat16"): bf16 halves the sweep's volume transport;
+    # sampling math, moments, and all gradients stay fp32
+    # (models/cascade.py volume_dtype).
+    volume_dtype: str = "float32"
     # Reference-checkpoint parity mode: reproduce the reference's
     # grid_sample(align_corners=False) sampling convention + its full-res-
     # then-downsample hypothesis chain (models/cascade.py torch_compat).
@@ -101,6 +106,10 @@ class Config:
                        choices=[0, 4, 8])
         p.add_argument("--compute_dtype", default=d.compute_dtype,
                        choices=["float32", "bfloat16"])
+        p.add_argument("--volume_dtype", default=d.volume_dtype,
+                       choices=["float32", "bfloat16"],
+                       help="HBM transport dtype of warped sweep volumes "
+                            "(bf16 halves sweep traffic; math stays fp32)")
         p.add_argument("--fused_red", default="auto",
                        choices=["auto", "on", "off"],
                        help="fused Pallas RED pipeline (auto = TPU backend)")
@@ -131,6 +140,7 @@ class Config:
             cr_base_chs=tuple(int(x) for x in a.cr_base_chs.split(",") if x),
             sweep_stencil=a.sweep_stencil,
             compute_dtype=a.compute_dtype,
+            volume_dtype=a.volume_dtype,
             fused_red={"auto": None, "on": True, "off": False}[a.fused_red],
             epochs=a.epochs, lr=a.lr,
             lr_milestones=tuple(int(x) for x in milestones_str.split(",") if x),

@@ -90,6 +90,7 @@ def create_model_and_state(cfg: Config, sample_batch: dict, steps_per_epoch: int
         cr_base_chs=tuple(cfg.cr_base_chs),
         sweep_stencil=resolve_sweep_stencil(cfg, sample_batch),
         compute_dtype=(jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None),
+        volume_dtype=(jnp.bfloat16 if cfg.volume_dtype == "bfloat16" else None),
         torch_compat=cfg.torch_compat,
         # env read ONCE at model build (a trace-time read would be silently
         # cached by the first jitted step) — the A/B knob for training with

@@ -25,6 +25,9 @@ def main() -> None:
     p.add_argument("--size", default="384x768")
     p.add_argument("--fused_sweep", action="store_true")
     p.add_argument("--dtype", default="fp32", choices=["fp32", "bfloat16"])
+    p.add_argument("--volume_dtype", default="fp32",
+                   choices=["fp32", "bfloat16"],
+                   help="warped-volume HBM transport dtype A/B")
     p.add_argument("--use_qc", action="store_true",
                    help="QC-form RPC warp cams (ref --use_qc) A/B")
     p.add_argument("--forward", action="store_true",
@@ -45,7 +48,9 @@ def main() -> None:
     cfg = Config(model="red", geo_model="rpc", ndepths=(64, 32, 8),
                  use_qc=a.use_qc,
                  compute_dtype=("bfloat16" if a.dtype == "bfloat16"
-                                else "float32"))
+                                else "float32"),
+                 volume_dtype=("bfloat16" if a.volume_dtype == "bfloat16"
+                               else "float32"))
     batch = numeric_batch(
         synthetic.make_batch(a.batch, w, h, seed=0, use_qc=a.use_qc))
     model, state, tx = create_model_and_state(cfg, batch, steps_per_epoch=100)
@@ -53,7 +58,7 @@ def main() -> None:
         model = model.clone(train_fused_sweep=True)
 
     tag = (f"b={a.batch} {a.size} fused_sweep={a.fused_sweep} "
-           f"use_qc={a.use_qc} {a.dtype}")
+           f"use_qc={a.use_qc} {a.dtype} vol={a.volume_dtype}")
     if a.forward:
         import jax.numpy as jnp
 

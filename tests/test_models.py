@@ -176,3 +176,49 @@ def test_bf16_compute_dtype_accuracy_gate():
     diff = np.abs(np.asarray(out32["depth"] - out16["depth"]))
     assert np.mean(diff) < 0.25 * interval, np.mean(diff)
     assert np.isfinite(np.asarray(out16["depth"])).all()
+
+
+def test_bf16_volume_dtype_gates():
+    """`--volume_dtype bfloat16` acceptance gate: warped sweep volumes travel
+    bf16 (HBM transport halved) while sampling math, moments, and gradients
+    stay f32.  Depth must stay well inside the finest stage interval of the
+    fp32 model, and train-mode gradients must agree with fp32 to a few
+    percent of the gradient scale (the transport quantizes features at
+    ~0.4% relative — it must not amplify through the variance/moment
+    chain)."""
+    imgs, cams, dvals, gt = _rpc_inputs()
+    f32 = CascadeREDNet(geo_model="rpc", ndepths=NDEPTHS)
+    b16 = CascadeREDNet(geo_model="rpc", ndepths=NDEPTHS,
+                        volume_dtype=jnp.bfloat16)
+    variables = f32.init(jax.random.PRNGKey(0), imgs, cams, dvals, train=False)
+    out32 = f32.apply(variables, imgs, cams, dvals, train=False)
+    out16 = b16.apply(variables, imgs, cams, dvals, train=False)
+    interval = 2.5
+    diff = np.abs(np.asarray(out32["depth"] - out16["depth"]))
+    assert np.mean(diff) < 0.25 * interval, np.mean(diff)
+
+    gt_stages = [
+        jnp.asarray(gt[None, ::4, ::4]),
+        jnp.asarray(gt[None, ::2, ::2]),
+        jnp.asarray(gt[None]),
+    ]
+    masks = [jnp.ones_like(g) for g in gt_stages]
+
+    # eval-mode grads, matching the sharded-vs-serial tests (train-mode
+    # BatchNorm batch-stat grads amplify any fp noise, NOTES.md round 2);
+    # aggregate relative-L2 criterion — individual noise-scale leaves may
+    # legitimately quantize to zero under a 0.4%-relative feature transport
+    def loss_fn(model, params):
+        out = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            imgs, cams, dvals, train=False,
+        )
+        return cascade_loss(out, gt_stages, masks)[0]
+
+    g32 = jax.grad(lambda p: loss_fn(f32, p))(variables["params"])
+    g16 = jax.grad(lambda p: loss_fn(b16, p))(variables["params"])
+    num = sum(float(jnp.sum((a - b) ** 2)) for a, b in
+              zip(jax.tree.leaves(g32), jax.tree.leaves(g16)))
+    den = sum(float(jnp.sum(a ** 2)) for a in jax.tree.leaves(g32))
+    rel = (num / (den + 1e-30)) ** 0.5
+    assert rel < 0.05, rel

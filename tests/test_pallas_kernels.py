@@ -400,3 +400,39 @@ def test_red_recur_from_state_chaining():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(rest), np.asarray(full[3:]),
                                atol=1e-5)
+
+
+def test_sweep_gather_bf16_transport():
+    """out_dtype=bfloat16 (volume transport): the stored volume must be
+    EXACTLY the f32 result cast once (f32 tap accumulation in-kernel, one
+    cast at the store — never a low-precision accumulation), and the
+    backward must accept a bf16 cotangent and return an f32 source
+    cotangent matching the upcast-then-scatter oracle."""
+    H, W, C, D = 32, 64, 8, 4
+    rng = np.random.default_rng(11)
+    src = jnp.asarray(rng.normal(size=(H, W, C)).astype(np.float32))
+    xs, ys = _smooth_coords(H, W, D)
+    assert int(sg.count_misses(xs, ys, H, W).sum()) == 0
+
+    out16 = sg.sweep_gather(src, xs, ys, 8, 8, True, "nhwc", jnp.bfloat16)
+    out32 = sg.sweep_gather(src, xs, ys, 8, 8, True)
+    assert out16.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(out16), np.asarray(out32.astype(jnp.bfloat16))
+    )
+
+    # hcw layout too (the training path's native form)
+    out16h = sg.sweep_gather(src, xs, ys, 8, 8, True, "hcw", jnp.bfloat16)
+    np.testing.assert_array_equal(
+        np.asarray(out16h), np.asarray(jnp.swapaxes(out16, 2, 3))
+    )
+
+    g16 = jnp.asarray(rng.normal(size=(D, H, W, C))).astype(jnp.bfloat16)
+    _, pullback = jax.vjp(
+        lambda s: sg.sweep_gather(s, xs, ys, 8, 8, True, "nhwc", jnp.bfloat16),
+        src,
+    )
+    (dsrc,) = pullback(g16)
+    assert dsrc.dtype == jnp.float32
+    ref = sg._bilinear_scatter(g16.astype(jnp.float32), xs, ys, H, W)
+    np.testing.assert_allclose(np.asarray(dsrc), np.asarray(ref), atol=1e-4)
