@@ -67,6 +67,7 @@ def predict_scene(
     batch_tiles: int = 1,
     mesh=None,
     stats: Optional[dict] = None,
+    norm: str = "tile",
 ):
     """Predict a full scene's reference-view height map by tiling.
 
@@ -87,6 +88,13 @@ def predict_scene(
         tile parallelism.
       stats: optional dict — filled with wall/host-prep/readback seconds so
         callers can verify host prep stays off the critical path.
+      norm: tile radiometric normalization.  "tile" (default) center_images
+        every tile crop independently — the reference's block-pipeline
+        behavior (ref predict.py:117-135 consumes pre-cut blocks whose
+        normalization is per-block).  "scene" normalizes every crop with
+        per-view statistics computed ONCE over the whole scene, so adjacent
+        tiles see identical radiometry — removes the per-tile gain/offset
+        jumps that show up as seams in the stitched height map.
 
     Host/device overlap: JAX dispatch is asynchronous, so the loop preps and
     dispatches chunk i+1 while the device still runs chunk i, and only then
@@ -114,6 +122,17 @@ def predict_scene(
     tiles = tiling.plan_tiles(scene_h, scene_w, tile=tile, halo=halo, multiple=32)
     order = [ref_index] + [i for i in range(v) if i != ref_index]
 
+    if norm not in ("tile", "scene"):
+        raise ValueError(f"norm must be 'tile' or 'scene', got {norm!r}")
+    if norm == "scene":
+        # one per-view, per-channel (mean, std) over the WHOLE scene — every
+        # tile crop is normalized with the same constants (fp64 reduction;
+        # matches center_image's per-channel semantics)
+        sc_mean = images.astype(np.float64).mean(axis=(1, 2), keepdims=True)
+        sc_std = np.sqrt(images.astype(np.float64).var(axis=(1, 2), keepdims=True))
+        sc_mean = sc_mean.astype(np.float32)
+        sc_std = (sc_std + 1e-8).astype(np.float32)
+
     def tile_inputs(t: tiling.Tile):
         # per-view windows; each view's RPC shifts by its OWN crop so the
         # warp geometry stays exact (geo.rpc.crop_rpc semantics)
@@ -123,9 +142,11 @@ def predict_scene(
                 rpcs, ref_index, view, t.row0, t.col0, t.height, t.width,
                 h_min, h_max, scene_h, scene_w,
             )
-            imgs_t.append(center_image(
-                images[view][row0:row0 + t.height, col0:col0 + t.width]
-            ))
+            crop = images[view][row0:row0 + t.height, col0:col0 + t.width]
+            if norm == "scene":
+                imgs_t.append((crop - sc_mean[view]) / sc_std[view])
+            else:
+                imgs_t.append(center_image(crop))
             rpcs_t.append(rpclib.crop_rpc(rpcs[view], start_w=col0, start_h=row0))
         imgs_t = np.stack(imgs_t)
         rpcs_t = np.stack(rpcs_t)

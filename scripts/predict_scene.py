@@ -47,6 +47,10 @@ def main() -> None:
     p.add_argument("--tile", type=int, default=384)
     p.add_argument("--halo", type=int, default=32)
     p.add_argument("--dsm", default=None, help="also fuse all views to a DSM raster")
+    p.add_argument("--norm", default="tile", choices=["tile", "scene"],
+                   help="tile radiometry: 'tile' center_images each crop "
+                        "(reference block-pipeline behavior), 'scene' uses "
+                        "whole-scene per-view stats (seam-free radiometry)")
     p.add_argument("--grid_res", type=float, default=5.0)
     p.add_argument("--batch_tiles", type=int, default=0,
                    help="tiles per forward (0 = one per device; batch is "
@@ -168,7 +172,7 @@ def main() -> None:
         num_stage=cfg.num_stage, ref_index=a.ref_index,
         batch_tiles=batch_tiles, mesh=mesh,
         progress=lambda i, n: print(f"tile {i}/{n}", end="\r"),
-        stats=stats,
+        stats=stats, norm=a.norm,
     )
     print(f"\nscene predicted in {time.time() - t0:.1f}s → {a.out}")
     if stats:
@@ -199,7 +203,7 @@ def main() -> None:
             d_i, _ = predict_scene(
                 forward, images, rpcs, tile=a.tile, halo=a.halo,
                 num_stage=cfg.num_stage, ref_index=ref_i,
-                batch_tiles=batch_tiles, mesh=mesh,
+                batch_tiles=batch_tiles, mesh=mesh, norm=a.norm,
             )
             depths.append(d_i)
         fuse_order = [a.ref_index] + [i for i in range(v) if i != a.ref_index]

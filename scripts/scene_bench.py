@@ -80,6 +80,8 @@ def main() -> None:
                         "--batch_tiles > 1)")
     p.add_argument("--slab", type=int, default=8)
     p.add_argument("--batch_tiles", type=int, default=0)
+    p.add_argument("--norm", default="tile", choices=["tile", "scene"],
+                   help="tile radiometry (predict_scene --norm)")
     a = p.parse_args()
 
     import numpy as np
@@ -142,7 +144,8 @@ def main() -> None:
          "--ndepths", a.ndepths, "--ref_index", "2",
          "--tile", str(a.tile), "--halo", str(a.halo)]
         + (["--streaming", "--slab", str(a.slab)] if a.streaming else [])
-        + (["--batch_tiles", str(a.batch_tiles)] if a.batch_tiles else []),
+        + (["--batch_tiles", str(a.batch_tiles)] if a.batch_tiles else [])
+        + (["--norm", a.norm] if a.norm != "tile" else []),
         env=env, capture_output=True, text=True, timeout=6000,
     )
     wall = time.time() - t0

@@ -188,3 +188,42 @@ def test_source_window_covers_offset_views():
                 # window clamped at the scene edge: the shifted source may
                 # genuinely lack the ground — never worse than shared-window
                 assert cov_new >= cov_old - 1e-9, (row0, col0, src)
+
+
+def test_predict_scene_scene_norm_radiometry():
+    """norm='scene' must normalize every tile crop with ONE set of per-view
+    whole-scene statistics: a probe forward that echoes its (normalized)
+    reference-view input back as depth must stitch to exactly the
+    scene-normalized image — no per-tile gain/offset jumps.  norm='tile'
+    (the reference's per-block behavior) re-centers each crop and must
+    therefore differ on a radiometric-gradient scene."""
+    size = 96
+    scene = synthetic.make_scene(size, size, seed=4, h_amp=50.0)
+    images = scene["images"]
+    # strong horizontal radiometric gradient → per-tile stats differ
+    grad = np.linspace(0.0, 60.0, size, dtype=np.float32)[None, :]
+    images = images + grad
+    rpcs = scene["rpcs"]
+
+    def probe(imgs, cams, dv):
+        d = imgs[:, 0, :, :, 0]
+        return {"depth": d, "photometric_confidence": jnp.ones_like(d)}
+
+    # tile=32, halo=0: 9 distinct 32^2 crops, so per-tile stats really
+    # differ along the gradient (tile+2*halo >= scene would degenerate
+    # every crop to the full scene and make the two modes coincide)
+    d_scene, _ = predict_scene(
+        probe, images, rpcs, tile=32, halo=0, num_stage=3, ref_index=0,
+        norm="scene",
+    )
+    img0 = np.repeat(np.asarray(images[0], np.float32)[..., None], 3, -1)
+    mean = img0.astype(np.float64).mean(axis=(0, 1))
+    std = np.sqrt(img0.astype(np.float64).var(axis=(0, 1))) + 1e-8
+    oracle = ((img0[..., 0] - mean[0]) / std[0]).astype(np.float32)
+    np.testing.assert_allclose(d_scene, oracle, atol=1e-5)
+
+    d_tile, _ = predict_scene(
+        probe, images, rpcs, tile=32, halo=0, num_stage=3, ref_index=0,
+        norm="tile",
+    )
+    assert np.max(np.abs(d_tile - d_scene)) > 0.1
