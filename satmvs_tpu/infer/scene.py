@@ -128,8 +128,10 @@ def predict_scene(
         # one per-view, per-channel (mean, std) over the WHOLE scene — every
         # tile crop is normalized with the same constants (fp64 reduction;
         # matches center_image's per-channel semantics)
-        sc_mean = images.astype(np.float64).mean(axis=(1, 2), keepdims=True)
-        sc_std = np.sqrt(images.astype(np.float64).var(axis=(1, 2), keepdims=True))
+        sc_mean = images.mean(axis=(1, 2), dtype=np.float64, keepdims=True)
+        sc_std = np.sqrt(
+            images.var(axis=(1, 2), dtype=np.float64, keepdims=True)
+        )
         sc_mean = sc_mean.astype(np.float32)
         sc_std = (sc_std + 1e-8).astype(np.float32)
 

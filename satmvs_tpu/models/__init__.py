@@ -55,14 +55,16 @@ def UCSNet(geo_model="rpc", lamb=1.5, ndepths=(64, 32, 8), cr_base_chs=(8, 8, 8)
 def build_model(name: str, geo_model: str, **kw) -> CascadeModel:
     """Model dispatch by CLI name (ref train.py:104-125).
 
-    Reads SATMVS_FUSED_RED ONCE here (build time, never inside traced code)
-    as a legacy A/B override for the ``fused_red`` field when the caller
-    didn't set it explicitly.
+    Reads SATMVS_FUSED_RED / SATMVS_FUSED_SWEEP ONCE here (build time, never
+    inside traced code) as legacy A/B overrides for the ``fused_red`` /
+    ``fused_sweep`` fields when the caller didn't set them explicitly.
     """
     import os
 
     if kw.get("fused_red") is None and "SATMVS_FUSED_RED" in os.environ:
         kw["fused_red"] = os.environ["SATMVS_FUSED_RED"] != "0"
+    if kw.get("fused_sweep") is None and "SATMVS_FUSED_SWEEP" in os.environ:
+        kw["fused_sweep"] = os.environ["SATMVS_FUSED_SWEEP"] != "0"
     if name == "red":
         return CascadeREDNet(geo_model, **kw)
     if name == "casmvs":

@@ -39,12 +39,6 @@ from ..ops.warp import QcWarpCams, RpcWarpCams, homo_warp, rpc_warp
 
 STAGE_SCALES = {3: (4, 2, 1), 2: (4, 1), 1: (4,)}
 
-# Emergency kill-switch for the fused sweep kernel, read ONCE at import —
-# never inside traced code (a trace-time env read is silently cached by the
-# first jitted step; same fix as the fused_red/train_fused_sweep fields).
-import os as _os
-
-_FUSED_SWEEP_ENABLED = _os.environ.get("SATMVS_FUSED_SWEEP", "1") != "0"
 
 
 def stage_hypotheses(
@@ -97,8 +91,7 @@ def build_stage_volume(geo_model: str, feats, cams, hyps, fused: bool = False,
     train and inference.
     """
     is_qc = geo_model == "rpc" and isinstance(cams, QcWarpCams)
-    if (geo_model == "rpc" and fused and jax.default_backend() == "tpu"
-            and _FUSED_SWEEP_ENABLED):
+    if geo_model == "rpc" and fused and jax.default_backend() == "tpu":
         from ..ops.coarse_coords import rpc_sweep_coords_coarse
         from ..ops.pallas.sweep_variance import sweep_variance
         from ..ops.warp import rpc_sweep_coords_qc
@@ -191,7 +184,18 @@ class CascadeModel(nn.Module):
     # f32, and the backward's volume cotangents travel bf16 into the f32
     # scatter.  Sampling math, moments, the variance volume, and all
     # gradients stay f32.  None = f32 (the fp32-exact default).
+    # NOTE: the FUSED sweep (fused_sweep / train_fused_sweep) never
+    # materializes per-view volumes in HBM, so this knob is a no-op there —
+    # combining the two is legal but bf16 transport then changes nothing.
     volume_dtype: object = None
+    # Fused one-kernel sweep+variance volume for the INFERENCE path (the
+    # training path is governed by train_fused_sweep below).  None = auto
+    # (on when the backend is TPU — build_stage_volume's own gate); False
+    # forces the per-view XLA/gather sampling path.  A real config field,
+    # visible to checkpoint/config metadata — replaces the old import-time
+    # SATMVS_FUSED_SWEEP env kill-switch (models.build_model still seeds this
+    # from that env var once at build, as a legacy A/B override).
+    fused_sweep: Optional[bool] = None
     # Tap-stencil half-width of the Pallas sweep kernels (the fused inference
     # sweep AND the per-view training gathers + their scatter adjoints); 8 is
     # safe for any plausible satellite geometry, 4 is ~2x faster and exact
@@ -303,9 +307,11 @@ class CascadeModel(nn.Module):
                          if self.fused_red is None else bool(self.fused_red))
             vol_layout = ("hcw" if self.regularizer == "red" and fused_red
                           and not self.remat else "nhwc")
+            fused_sweep = (True if self.fused_sweep is None
+                           else bool(self.fused_sweep))
             volume = build_stage_volume(
                 self.geo_model, stage_feats[i], cams[i], hyps,
-                fused=(not train) or self.train_fused_sweep,
+                fused=((not train) or self.train_fused_sweep) and fused_sweep,
                 stencil=self.sweep_stencil,
                 convention="torch" if self.torch_compat else "exact",
                 layout=vol_layout,

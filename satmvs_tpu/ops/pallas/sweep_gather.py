@@ -38,6 +38,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -313,10 +314,17 @@ def _gather_taps_dyn(geom, patch_at, out_ref, vspan, rc, wpp,
 
 def _sweep_gather_kernel(
     rs_ref, cs_ref, rc_ref, vs_ref, hs_ref, x_ref, y_ref, src_hbm, out_ref,
-    patch_ref, acc_ref, sems,
-    *, kv: int, ks: int, height: int, width: int, channels: int,
+    patch_ref, *scratch,
+    kv: int, ks: int, height: int, width: int, channels: int,
     n_d: int, n_tiles: int,
 ):
+    # the f32 tap accumulator scratch exists only for non-f32 outputs (bf16
+    # volume transport) — the default f32 path never allocates it
+    if len(scratch) == 2:
+        acc_ref, sems = scratch
+    else:
+        acc_ref = None
+        (sems,) = scratch
     """Double-buffered: program p computes its taps while the DMA of program
     p+1's source window (placement from the scalar-prefetched `tile_bases`)
     is in flight into the other buffer slot."""
@@ -365,7 +373,7 @@ def _sweep_gather_kernel(
     # VMEM scratch and cast once at the store, so the result is exactly
     # f32_result.astype(dtype) — never a low-precision accumulation (the
     # dynamic-row path accumulates across its fori_loop through the ref).
-    use_acc = out_ref.dtype != jnp.float32
+    use_acc = acc_ref is not None
     dst = acc_ref if use_acc else out_ref
     kw = dict(bh=bh, channels=channels, width=width)
     dispatch_taps(
@@ -445,9 +453,15 @@ def _sweep_gather_impl_hcw(src: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
                     (2, BLOCK_ROWS + kv, c, _round_up(w + ks + 128, 128)),
                     jnp.float32,
                 ),
-                pltpu.VMEM((1, BLOCK_ROWS, c, w), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
+            ]
+            + (
+                # f32 tap accumulator, only for non-f32 (bf16-transport)
+                # outputs — don't burn VMEM headroom on the default path
+                [pltpu.VMEM((1, BLOCK_ROWS, c, w), jnp.float32)]
+                if np.dtype(out_dtype) != np.dtype(np.float32)
+                else []
+            )
+            + [pltpu.SemaphoreType.DMA((2,))],
         ),
         out_shape=jax.ShapeDtypeStruct((d, h, c, w), out_dtype),
         compiler_params=pltpu.CompilerParams(

@@ -370,7 +370,7 @@ def sweep_coverage_misses(rpcs: np.ndarray, ref_index: int = 0,
     coverage is the conservative bound).
 
     On a nonzero count: raise `CascadeModel.sweep_stencil`, or set
-    SATMVS_FUSED_SWEEP=0 to fall back to the XLA sampling path.
+    CascadeModel.fused_sweep=False to fall back to the XLA sampling path.
     """
     rpcs = np.asarray(rpcs, np.float64)
     order = [ref_index] + [i for i in range(len(rpcs)) if i != ref_index]

@@ -55,6 +55,11 @@ class Config:
     # Fused Pallas RED pipeline: None = auto (on when backend is TPU);
     # True/False forces (models/cascade.py fused_red field).
     fused_red: Optional[bool] = None
+    # Fused one-kernel sweep+variance volume (inference path): None = auto
+    # (on when backend is TPU); False forces the per-view gather/XLA path
+    # (models/cascade.py fused_sweep field — the old SATMVS_FUSED_SWEEP
+    # kill-switch as a real config knob).
+    fused_sweep: Optional[bool] = None
 
     # optimization
     epochs: int = 30
@@ -109,10 +114,19 @@ class Config:
         p.add_argument("--volume_dtype", default=d.volume_dtype,
                        choices=["float32", "bfloat16"],
                        help="HBM transport dtype of warped sweep volumes "
-                            "(bf16 halves sweep traffic; math stays fp32)")
+                            "(bf16 halves sweep traffic; math stays fp32). "
+                            "Gather-path only: a no-op under the fused sweep, "
+                            "which stores no per-view volumes")
         p.add_argument("--fused_red", default="auto",
                        choices=["auto", "on", "off"],
                        help="fused Pallas RED pipeline (auto = TPU backend)")
+        p.add_argument("--fused_sweep", default="auto",
+                       choices=["auto", "on", "off"],
+                       help="fused one-kernel sweep+variance volume at "
+                            "inference (auto = TPU backend); off forces the "
+                            "per-view gather path.  Note: --volume_dtype only "
+                            "affects the per-view gather path — the fused "
+                            "sweep stores no volumes, so it is a no-op there")
         p.add_argument("--epochs", type=int, default=d.epochs)
         p.add_argument("--lr", type=float, default=d.lr)
         p.add_argument("--lrepochs", default="10,12,14:2")
@@ -142,6 +156,7 @@ class Config:
             compute_dtype=a.compute_dtype,
             volume_dtype=a.volume_dtype,
             fused_red={"auto": None, "on": True, "off": False}[a.fused_red],
+            fused_sweep={"auto": None, "on": True, "off": False}[a.fused_sweep],
             epochs=a.epochs, lr=a.lr,
             lr_milestones=tuple(int(x) for x in milestones_str.split(",") if x),
             lr_gamma=1.0 / float(gamma_str),

@@ -97,6 +97,7 @@ def create_model_and_state(cfg: Config, sample_batch: dict, steps_per_epoch: int
         # the fused sweep kernel instead of per-view gathers
         train_fused_sweep=os.environ.get("SATMVS_TRAIN_FUSED_SWEEP") == "1",
         fused_red=cfg.fused_red,
+        fused_sweep=cfg.fused_sweep,
         **({"min_interval": cfg.min_interval,
             "depth_intervals_ratio": tuple(cfg.depth_inter_r)}
            if cfg.model in ("red", "casmvs") else {"lamb": cfg.lamb}),

@@ -79,6 +79,8 @@ def main() -> None:
     p.add_argument("--geo_consist_num", type=int, default=1)
     p.add_argument("--confidence_ratio", type=float, default=0.1)
     p.add_argument("--grid_res", type=float, default=5.0)
+    p.add_argument("--fused_sweep", default="auto", choices=["auto", "on", "off"],
+                   help="fused sweep+variance kernel (auto = TPU backend)")
     a = p.parse_args()
 
     cfg = Config(
@@ -88,6 +90,7 @@ def main() -> None:
         cr_base_chs=tuple(int(x) for x in a.cr_base_chs.split(",") if x),
         min_interval=a.min_interval, lamb=a.lamb, view_num=a.view_num,
         torch_compat=a.torch_compat,
+        fused_sweep={"auto": None, "on": True, "off": False}[a.fused_sweep],
     )
 
     ds = find_dataset(a.geo_model)(
@@ -110,7 +113,7 @@ def main() -> None:
         )
         if any(misses.values()):
             print(f"WARNING: fused-sweep stencil drops samples {misses}; "
-                  "set SATMVS_FUSED_SWEEP=0 or raise sweep_stencil",
+                  "pass --fused_sweep off or raise sweep_stencil",
                   file=sys.stderr)
 
     model, state, _ = create_model_and_state(cfg, first, steps_per_epoch=1, abstract_init=True)

@@ -47,6 +47,15 @@ def main() -> None:
     p.add_argument("--tile", type=int, default=384)
     p.add_argument("--halo", type=int, default=32)
     p.add_argument("--dsm", default=None, help="also fuse all views to a DSM raster")
+    # fusion filter thresholds (ref tools/rpc_filter.py:71-112 knobs; the
+    # operating-point curve lives in BASELINE.md — scripts/fusion_sweep.py
+    # re-sweeps them over the saved per-view maps in seconds)
+    p.add_argument("--p_ratio", type=float, default=2.0,
+                   help="reprojection round-trip px threshold")
+    p.add_argument("--d_ratio", type=float, default=7.5,
+                   help="height-gap threshold (m)")
+    p.add_argument("--geo_consist_num", type=int, default=1)
+    p.add_argument("--confidence_ratio", type=float, default=0.0)
     p.add_argument("--norm", default="tile", choices=["tile", "scene"],
                    help="tile radiometry: 'tile' center_images each crop "
                         "(reference block-pipeline behavior), 'scene' uses "
@@ -60,6 +69,9 @@ def main() -> None:
                         "O(slab) memory in D; with --batch_tiles the whole "
                         "tile batch runs the batched grid=(B, D) fused "
                         "pipeline")
+    p.add_argument("--fused_sweep", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="fused sweep+variance kernel (auto = TPU backend)")
     p.add_argument("--slab", type=int, default=8,
                    help="planes per streaming scan step (0 = one plane at a "
                         "time through the unfused step)")
@@ -92,11 +104,13 @@ def main() -> None:
     )
     if any(misses.values()):
         print(f"WARNING: fused-sweep stencil drops samples {misses}; "
-              "set SATMVS_FUSED_SWEEP=0 or raise sweep_stencil", file=sys.stderr)
+              "pass --fused_sweep off or raise sweep_stencil", file=sys.stderr)
 
     cfg = Config(model=a.model, geo_model="rpc",
                  ndepths=tuple(int(x) for x in a.ndepths.split(",")),
-                 min_interval=a.min_interval, view_num=len(a.images))
+                 min_interval=a.min_interval, view_num=len(a.images),
+                 fused_sweep={"auto": None, "on": True,
+                              "off": False}[a.fused_sweep])
 
     # init the model on one tile shape to build the state template
     from satmvs_tpu.data.loader import collate
@@ -207,10 +221,20 @@ def main() -> None:
             )
             depths.append(d_i)
         fuse_order = [a.ref_index] + [i for i in range(v) if i != a.ref_index]
+        # save the per-view maps: scripts/fusion_sweep.py re-runs the filter
+        # over them at any thresholds in seconds (no re-prediction)
+        base = os.path.splitext(a.out)[0]
+        for vi, d_i in zip(fuse_order, depths):
+            formats.save_pfm(f"{base}_view{vi}.pfm", d_i.astype(np.float32))
         path, mask, _ = fuse_scene_to_dsm(
-            np.stack(depths), rpcs[fuse_order], a.dsm, grid_res=a.grid_res, prob=conf,
+            np.stack(depths), rpcs[fuse_order], a.dsm, grid_res=a.grid_res,
+            prob=conf, p_ratio=a.p_ratio, d_ratio=a.d_ratio,
+            geo_consist_num=a.geo_consist_num,
+            confidence_ratio=a.confidence_ratio,
         )
-        print(f"DSM written: {path} (valid {mask.mean():.1%})")
+        print(f"DSM written: {path} (valid {mask.mean():.1%}, "
+              f"p_ratio {a.p_ratio}, d_ratio {a.d_ratio}, "
+              f"geo_consist {a.geo_consist_num}, conf {a.confidence_ratio})")
 
 
 if __name__ == "__main__":

@@ -82,6 +82,12 @@ def main() -> None:
     p.add_argument("--batch_tiles", type=int, default=0)
     p.add_argument("--norm", default="tile", choices=["tile", "scene"],
                    help="tile radiometry (predict_scene --norm)")
+    p.add_argument("--dsm", action="store_true",
+                   help="also fuse all views to a DSM (reports valid%%)")
+    p.add_argument("--p_ratio", type=float, default=2.0)
+    p.add_argument("--d_ratio", type=float, default=7.5)
+    p.add_argument("--json_out", default="",
+                   help="append the one-line JSON record here too")
     a = p.parse_args()
 
     import numpy as np
@@ -134,8 +140,9 @@ def main() -> None:
         ckpt = os.path.join(logdir, "red", "rpc")
         print(f"[scene_bench] quick model trained ({a.train_epochs} epochs)")
 
-    # ---- the real surface: predict_scene CLI
-    out_pfm = os.path.join(work, "scene_height.pfm")
+    # ---- the real surface: predict_scene CLI (output per norm mode so a
+    # tile/scene A/B in one workdir keeps both maps)
+    out_pfm = os.path.join(work, f"scene_height_{a.norm}.pfm")
     t0 = time.time()
     r = subprocess.run(
         [sys.executable, "scripts/predict_scene.py",
@@ -145,8 +152,11 @@ def main() -> None:
          "--tile", str(a.tile), "--halo", str(a.halo)]
         + (["--streaming", "--slab", str(a.slab)] if a.streaming else [])
         + (["--batch_tiles", str(a.batch_tiles)] if a.batch_tiles else [])
-        + (["--norm", a.norm] if a.norm != "tile" else []),
-        env=env, capture_output=True, text=True, timeout=6000,
+        + (["--norm", a.norm] if a.norm != "tile" else [])
+        + (["--dsm", os.path.join(work, f"dsm_{a.norm}.tif"),
+            "--p_ratio", str(a.p_ratio), "--d_ratio", str(a.d_ratio)]
+           if a.dsm else []),
+        env=env, capture_output=True, text=True, timeout=9000,
     )
     wall = time.time() - t0
     sys.stderr.write(r.stderr[-2000:])
@@ -165,9 +175,45 @@ def main() -> None:
     s, i, ratio = seam_metric(depth, a.tile, a.halo)
     print(f"[scene_bench] MAE {mae:.2f} m, <2.5m {lt25:.1%}; "
           f"seam jump {s:.3f} m vs interior {i:.3f} m (ratio {ratio:.2f})")
+    host_share = None
     m = re.search(r"host prep ([0-9.]+)s \((\d+)%", stats_line)
     if m:
+        host_share = int(m.group(2)) / 100.0
         print(f"[scene_bench] host-prep share {m.group(2)}% (target <20%)")
+
+    # ---- the machine-parseable record (same contract as bench.py: ONE JSON
+    # line the next round can diff mechanically — VERDICT r4 #5)
+    scene_wall = steady_tile = None
+    m = re.search(r"wall ([0-9.]+)s", stats_line)
+    if m:
+        scene_wall = float(m.group(1))
+    m = re.search(r"steady-state [0-9.]+s/chunk \(([0-9.]+)s/tile\)",
+                  r.stdout)
+    if m:
+        steady_tile = float(m.group(1))
+    valid_pct = None
+    m = re.search(r"DSM written: .* \(valid ([0-9.]+)%", r.stdout)
+    if m:
+        valid_pct = float(m.group(1))
+    record = {
+        "size": a.size, "tile": a.tile, "halo": a.halo, "norm": a.norm,
+        "streaming": bool(a.streaming),
+        "cli_wall_s": round(wall, 1),
+        "wall_s": scene_wall,
+        "steady_tile_s": steady_tile,
+        "host_prep_share": host_share,
+        "seam_jump_m": round(s, 4), "interior_jump_m": round(i, 4),
+        "seam_ratio": round(ratio, 3),
+        "mae_m": round(mae, 3), "lt2.5m_pct": round(lt25 * 100, 2),
+        "valid_pct": valid_pct,
+    }
+    import json
+
+    line = json.dumps(record)
+    print(line)
+    if a.json_out:
+        with open(a.json_out, "a") as f:
+            f.write(line + "\n")
 
 
 if __name__ == "__main__":

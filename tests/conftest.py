@@ -21,4 +21,7 @@ jax.config.update("jax_platforms", "cpu")
 
 from satmvs_tpu import cache as _cache  # noqa: E402
 
-_cache.enable()  # persistent compile cache (reruns of the suite skip compiles)
+# No-op on the CPU backend (cache.enable refuses CPU: deserializing XLA:CPU
+# AOT entries segfaulted — NOTES round-4); kept so any test that flips to a
+# TPU backend still gets the persistent Mosaic-compile cache.
+_cache.enable()
