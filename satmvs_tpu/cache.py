@@ -52,7 +52,13 @@ def enable(path: str | None = None, min_compile_secs: float = 1.0) -> str:
     import jax
 
     platforms = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
-    if os.environ.get("SATMVS_PLATFORM") == "cpu" or "cpu" in str(platforms):
+    # the platform list is an ordered preference ("axon,cpu" means axon with
+    # a cpu fallback) — only the SELECTED (first) platform matters.  A plain
+    # `"cpu" in platforms` substring test disabled the cache on every TPU
+    # process of this image (jax_platforms defaults to "axon,cpu" here) and
+    # silently cost ~190 s of recompile per CLI run (NOTES round-5).
+    selected = str(platforms).split(",")[0].strip().lower()
+    if os.environ.get("SATMVS_PLATFORM") == "cpu" or selected == "cpu":
         return ""
     path = path or os.environ.get("SATMVS_COMPILE_CACHE", DEFAULT_DIR)
     path = os.path.join(path, _host_tag())

@@ -113,6 +113,11 @@ def main() -> None:
     p.add_argument("--ndepths", default="16,8,4")
     p.add_argument("--workdir", default="/tmp/scene_norm_exp")
     p.add_argument("--arms", default="tile,scene")
+    p.add_argument("--gradient", action="store_true",
+                   help="add a strong radiometric gradient to every scene "
+                        "(train AND eval) — without it the synthetic texture "
+                        "is stationary and the two norms coincide (measured: "
+                        "identical scene records, NOTES round-5)")
     p.add_argument("--json_out", default="")
     a = p.parse_args()
     os.makedirs(a.workdir, exist_ok=True)
@@ -146,6 +151,12 @@ def main() -> None:
         ]
         np.savez_compressed(cache_npz, scenes=np.array(scenes, dtype=object))
         print(f"[exp] rendered {len(scenes)} scenes in {time.time()-t0:.0f}s")
+    if a.gradient:
+        sz = a.scene_size
+        gx = np.linspace(0.0, 90.0, sz, dtype=np.float32)[None, :]
+        gy = np.linspace(0.0, 30.0, sz, dtype=np.float32)[:, None]
+        for sc in scenes:
+            sc["images"] = sc["images"] * 0.6 + gx + gy
     train_scenes, eval_scene = scenes[:-1], scenes[-1]
 
     # ---- train both arms with the canonical step

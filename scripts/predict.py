@@ -74,8 +74,11 @@ def main() -> None:
     p.add_argument("--color", action="store_true",
                    help="also write colorized PNGs (init/color, prob/color — "
                         "the reference's sketched visualization surface)")
-    p.add_argument("--p_ratio", type=float, default=1.0)
-    p.add_argument("--d_ratio", type=float, default=2.5)
+    # fusion operating point: the measured valid%-vs-MAE knee (BASELINE.md
+    # fusion curve — 82% valid at MAE 2.69 m on the 2560^2 record; the
+    # reference's own defaults p=1.0/d=2.5 sit far down the curve at 48%)
+    p.add_argument("--p_ratio", type=float, default=2.0)
+    p.add_argument("--d_ratio", type=float, default=7.5)
     p.add_argument("--geo_consist_num", type=int, default=1)
     p.add_argument("--confidence_ratio", type=float, default=0.1)
     p.add_argument("--grid_res", type=float, default=5.0)
