@@ -405,12 +405,61 @@ def bench_stream_ratio(full_forward_ms: float) -> dict:
             "stream_over_full_ratio": round(ratio, 3)}
 
 
+def bench_coords_accuracy() -> dict:
+    """Max device-vs-fp64-oracle pixel error of the sweep projection chain
+    ON THIS HARDWARE — the on-chip twin of tests/test_geo.py's <0.01 px gate
+    (which runs on CPU).  Guards against backend numerics regressions: jax's
+    DEFAULT TPU matmul precision is one bf16 pass, which put ~0.4%·extent
+    errors into the coords until the geometry matmuls were pinned to
+    precision=HIGHEST (NOTES round-5 — the whole scene-scale accuracy
+    degradation).  Reported per round in the extras payload."""
+    import jax.numpy as jnp
+
+    from satmvs_tpu.data import synthetic
+    from satmvs_tpu.geo import rpc as rpclib
+    from satmvs_tpu.ops import warp as warplib
+    from satmvs_tpu.ops.coarse_coords import rpc_sweep_coords_coarse
+
+    rpcs = np.stack(
+        synthetic.make_rpc_triplet(PATCH_W, PATCH_H, seed=0)
+    )[[2, 0, 1]]
+    cams = warplib.build_stage_cams(rpcs, ref_index=0, num_stage=3)[0]
+    h_min, h_max = rpclib.height_range(rpcs[0])
+    depths = jnp.linspace(h_min, h_max, 4, dtype=jnp.float32)
+
+    # fp64 host oracle on a subsampled grid (every 8th px at 1/4 scale)
+    step = 8
+    ys, xs = np.mgrid[0:FEAT_H:step, 0:FEAT_W:step].astype(np.float64)
+    errs = {}
+    for name, fn in (("exact", warplib.rpc_sweep_coords),
+                     ("coarse", rpc_sweep_coords_coarse)):
+        xd, yd = fn(cams, 0, depths, FEAT_H, FEAT_W)
+        xd = np.asarray(xd)[:, ::step, ::step]
+        yd = np.asarray(yd)[:, ::step, ::step]
+        worst = 0.0
+        for di, dv in enumerate(np.asarray(depths, np.float64)):
+            # stage-1 cams are at 1/4 scale: their RPCs are the scaled ones
+            # inside the bundle, so project with the fp64 originals scaled
+            ref4 = rpclib.scale_rpc(rpcs[0], 0.25)
+            src4 = rpclib.scale_rpc(rpcs[1], 0.25)
+            lat, lon = rpclib.photo_to_obj(
+                ref4, xs.ravel() * 1.0, ys.ravel() * 1.0,
+                np.full(xs.size, dv))
+            sx, sy = rpclib.obj_to_photo(src4, lat, lon, np.full(xs.size, dv))
+            e = np.hypot(xd[di].ravel() - sx, yd[di].ravel() - sy)
+            worst = max(worst, float(e.max()))
+        errs[f"coords_px_err_{name}"] = round(worst, 6)
+    print(f"[bench] device-vs-fp64 coords px err: {errs}", file=sys.stderr)
+    return errs
+
+
 def main() -> None:
     views_per_s = bench_plane_sweep()
     # every secondary bench lands in the parsed payload (extras) so rounds
     # can be diffed mechanically; none may sink the primary metric
     extras: dict = {}
     for fn, args in (
+        (bench_coords_accuracy, None),
         (bench_model_forward, None),
         (bench_train_step, None),
         (bench_cross_models, None),

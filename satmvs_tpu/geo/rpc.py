@@ -103,7 +103,14 @@ def _rational_pair(coefs, p, l, h):
     returns (a, b) with a = num_a/den_a, b = num_b/den_b, shape = p.shape.
     """
     basis = poly_basis(p, l, h)  # (..., 20)
-    vals = jnp.matmul(basis, coefs, preferred_element_type=basis.dtype)  # (..., 4)
+    # precision=HIGHEST: jax's DEFAULT TPU matmul precision is a single bf16
+    # pass (~2^-8 relative error).  Pixel coords are normalized(±1)·SCALE, so
+    # that error is ~0.4%·image_extent — ±0.3 px at a 160² training patch but
+    # ±10 px at a 5120² scene (measured round-5: the whole scene-scale
+    # accuracy degradation + the TPU-vs-CPU fusion valid%% gap, NOTES).  The
+    # fp32-exact 3-pass matmul costs <1 ms/sweep on the coarse grid.
+    vals = jnp.matmul(basis, coefs, preferred_element_type=basis.dtype,
+                      precision=jax.lax.Precision.HIGHEST)  # (..., 4)
     a = vals[..., 0] / vals[..., 1]
     b = vals[..., 2] / vals[..., 3]
     return a, b
@@ -275,8 +282,11 @@ def to_qc_tensor(c20):
 
 def qc_eval(t, x):
     """Evaluate the QC form: x shape (..., 4), t shape (4, 4, 4) → (...)."""
-    xp = jnp if isinstance(x, jnp.ndarray) else np
-    return xp.einsum("...i,...j,...k,ijk->...", x, x, x, t)
+    if isinstance(x, jnp.ndarray):
+        # fp32-exact (see _rational_pair: default TPU dot precision is bf16)
+        return jnp.einsum("...i,...j,...k,ijk->...", x, x, x, t,
+                          precision=jax.lax.Precision.HIGHEST)
+    return np.einsum("...i,...j,...k,ijk->...", x, x, x, t)
 
 
 # ---------------------------------------------------------------------------

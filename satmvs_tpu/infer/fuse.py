@@ -111,8 +111,12 @@ def _check_consistency_pinhole(depth_ref, depth_src, proj_ref, proj_src,
     ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
 
     def project(proj_from, proj_to, x, y, d):
-        rel = proj_to @ jnp.linalg.inv(proj_from)
-        p = jnp.stack([x * d, y * d, d, jnp.ones_like(d)], axis=-1) @ rel.T
+        hi = jax.lax.Precision.HIGHEST  # fp32-exact (geo/rpc._rational_pair)
+        rel = jnp.matmul(proj_to, jnp.linalg.inv(proj_from), precision=hi)
+        p = jnp.matmul(
+            jnp.stack([x * d, y * d, d, jnp.ones_like(d)], axis=-1), rel.T,
+            precision=hi,
+        )
         z = jnp.where(jnp.abs(p[..., 2]) < 1e-6, 1e-6, p[..., 2])
         return p[..., 0] / z, p[..., 1] / z, p[..., 2]
 

@@ -271,7 +271,10 @@ def _qc_pair(qc4: jnp.ndarray, p, l, h):
     [num_a, den_a, num_b, den_b]; x = (1, L, P, H) per the reference packing
     (ref modules/warping.py:80-81,120-121)."""
     x = jnp.stack([jnp.ones_like(p), l, p, h], axis=-1)         # (..., 4)
-    vals = jnp.einsum("...i,...j,...k,nijk->...n", x, x, x, qc4)
+    # fp32-exact: default TPU dot precision is one bf16 pass — ~0.4% relative
+    # error that scales to ±10 px at 5120² scenes (geo/rpc._rational_pair)
+    vals = jnp.einsum("...i,...j,...k,nijk->...n", x, x, x, qc4,
+                      precision=jax.lax.Precision.HIGHEST)
     return vals[..., 0] / vals[..., 1], vals[..., 2] / vals[..., 3]
 
 
@@ -315,7 +318,8 @@ def homo_sweep_coords(src_proj: jnp.ndarray, ref_proj: jnp.ndarray, depth_values
     if depth_values.ndim == 1:
         depth_values = depth_values.reshape(d, 1, 1) * jnp.ones((1, height, width), depth_values.dtype)
 
-    rel = src_proj @ jnp.linalg.inv(ref_proj)
+    hi = jax.lax.Precision.HIGHEST  # fp32-exact (see _qc_pair note)
+    rel = jnp.matmul(src_proj, jnp.linalg.inv(ref_proj), precision=hi)
     rot = rel[:3, :3]
     trans = rel[:3, 3]
 
@@ -324,7 +328,7 @@ def homo_sweep_coords(src_proj: jnp.ndarray, ref_proj: jnp.ndarray, depth_values
     ones = jnp.ones_like(xs)
     pix = jnp.stack([xs, ys, ones], axis=-1)  # (H, W, 3)
 
-    rot_pix = pix @ rot.T  # (H, W, 3)
+    rot_pix = jnp.matmul(pix, rot.T, precision=hi)  # (H, W, 3)
     p = rot_pix[None] * depth_values[..., None] + trans  # (D, H, W, 3)
     z = p[..., 2]
     # guard against division blow-ups behind the camera (reference divides raw)
