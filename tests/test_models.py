@@ -222,3 +222,53 @@ def test_bf16_volume_dtype_gates():
     den = sum(float(jnp.sum(a ** 2)) for a in jax.tree.leaves(g32))
     rel = (num / (den + 1e-30)) ** 0.5
     assert rel < 0.05, rel
+
+
+def test_conv3d_via_2d_matches_lax():
+    """The per-D-tap 2-D decompositions of the 3-D conv / transposed conv
+    (nn/blocks.Conv3DVia2D, ConvTranspose3DVia2D — the XLA-path CostRegNet
+    convs) must match the monolithic lax ops up to f32 reassociation."""
+    rng = np.random.default_rng(0)
+    B, D, H, W, Cin, Cout = 2, 8, 12, 16, 5, 7
+    x = jnp.asarray(rng.normal(size=(B, D, H, W, Cin)), jnp.float32)
+
+    k3 = jnp.asarray(rng.normal(size=(3, 3, 3, Cin, Cout)), jnp.float32)
+    from satmvs_tpu.nn.blocks import Conv3DVia2D, ConvTranspose3DVia2D
+
+    for stride in (1, 2):
+        m = Conv3DVia2D(Cout, (3, 3, 3), strides=(stride,) * 3,
+                        padding=[(1, 1)] * 3, use_bias=False)
+        v = {"params": {"kernel": k3}}
+        got = m.apply(v, x)
+        ref = jax.lax.conv_general_dilated(
+            x, k3, (stride,) * 3, [(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        np.testing.assert_allclose(got, ref, atol=5e-5)
+
+    kt = jnp.asarray(rng.normal(size=(3, 3, 3, Cout, Cin)), jnp.float32)
+    mt = ConvTranspose3DVia2D(Cout, (3, 3, 3), strides=(2, 2, 2),
+                              padding=[(1, 2)] * 3, transpose_kernel=True,
+                              use_bias=False)
+    got = mt.apply({"params": {"kernel": kt}}, x)
+    ref = jax.lax.conv_transpose(
+        x, kt, (2, 2, 2), [(1, 2)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"), transpose_kernel=True)
+    np.testing.assert_allclose(got, ref, atol=5e-5)
+
+
+@pytest.mark.slow
+def test_packed_costreg_matches_xla_path():
+    """The row-packed Pallas CostRegNet inference forward (TPU path;
+    interpret-mode here) must reproduce the XLA path through nontrivial
+    BatchNorm running stats (the BN folding)."""
+    from satmvs_tpu.nn.costreg import CostRegNet
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 8, 16, 16, 5)), jnp.float32)
+    m_ref = CostRegNet(8, fused=False)
+    v = m_ref.init(jax.random.PRNGKey(0), x, False)
+    _, mut = m_ref.apply(v, x, True, mutable=["batch_stats"])
+    v = {"params": v["params"], "batch_stats": mut["batch_stats"]}
+    y0 = m_ref.apply(v, x, False)
+    y1 = CostRegNet(8, fused=True).apply(v, x, False)
+    np.testing.assert_allclose(y1, y0, atol=1e-4)
