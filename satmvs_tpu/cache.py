@@ -65,3 +65,17 @@ def enable(path: str | None = None, min_compile_secs: float = 1.0) -> str:
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", min_compile_secs)
     return path
+
+
+def disable() -> None:
+    """Hard-disable the persistent cache for this process.
+
+    Required by any code that flips the backend to CPU AFTER an import-time
+    `enable()` ran under the TPU platform (e.g. __graft_entry__'s dryrun):
+    with the cache left on, the CPU backend both writes XLA:CPU AOT entries
+    into the TPU cache dir and LOADS them — the machine-feature-mismatch
+    deserialization that segfaulted the round-4 suite ("could lead to
+    SIGILL" loader warnings)."""
+    import jax
+
+    jax.config.update("jax_enable_compilation_cache", False)
